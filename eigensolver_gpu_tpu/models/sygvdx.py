@@ -1,0 +1,79 @@
+"""Generalized eigensolver drivers: ``A x = lambda B x`` (ITYPE=1,
+JOBZ='V', RANGE='I', UPLO irrelevant -- full matrices in, functional out).
+
+Mirrors the reference's entire public API -- ``dsygvdx_gpu``
+(dsygvdx_gpu.F90:71) and ``zhegvdx_gpu`` (zhegvdx_gpu.F90:75) -- with the
+same 5-phase pipeline (zhegvdx_gpu.F90:131-180):
+
+  1. Cholesky  B = U^H U                      (ops/cholesky.py)
+  2. reduce to standard form C = U^{-H} A U^{-1}   (ops/sygst.py)
+  3. standard eigensolve of C, select il..iu  (models/syevdx.py)
+  4. back-substitute x = U^{-1} y             (triangular_solve)
+  5. (reference: D2H copy -- irrelevant here; results are device arrays)
+
+API re-design for TPU/JAX: no caller-allocated device/pinned workspaces
+(the reference takes 10+ workspace arguments with documented minimums,
+zhegvdx_gpu.F90:44-54 -- XLA owns all buffers); il/iu are static arguments
+so the selected shapes compile; info is returned as a device scalar
+instead of printing and returning without setting info (the reference's
+contract gap, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from eigensolver_gpu_tpu.models.syevdx import syevdx
+from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
+from eigensolver_gpu_tpu.ops.sygst import sygst
+from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.utils.tracing import trace_range
+
+
+class SygvdxResult(NamedTuple):
+    w: jax.Array  # (m,) real eigenvalues, ascending, m = iu - il + 1
+    z: jax.Array  # (n, m) B-orthonormal eigenvectors
+    info: jax.Array  # int32: 0 ok, >0 B not positive definite
+
+
+@functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
+def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
+    """Solve A x = lambda B x for eigenpairs il..iu (1-based, ascending)."""
+    n = a.shape[0]
+    if a.shape != (n, n) or b.shape != (n, n):
+        raise ValueError(f"A and B must be square and equal shape, got {a.shape}, {b.shape}")
+    if iu is None:
+        iu = n
+
+    with trace_range("sygvdx"):
+        u, info = cholesky_upper(b)  # PHASE 1 (zhegvdx_gpu.F90:135)
+        c = sygst(a, u, mode=cfg.sygst_mode, nb=cfg.nb_sygst)  # PHASE 2 (:158)
+        w, y = syevdx(c, il=il, iu=iu, cfg=cfg)  # PHASE 3 (:163)
+        # PHASE 4: x = U^{-1} y (cublasZtrsm, zhegvdx_gpu.F90:169)
+        z = lax.linalg.triangular_solve(
+            u, y, left_side=True, lower=False, transpose_a=False
+        )
+        return SygvdxResult(w=w, z=z, info=info)
+
+
+def dsygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
+    """Real driver (dsygvdx_gpu.F90:71). A symmetric, B SPD, float32/64."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        raise TypeError(f"dsygvdx expects real input, got {a.dtype}")
+    return sygvdx(a, b, il=il, iu=iu, cfg=cfg)
+
+
+def zhegvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
+    """Complex driver (zhegvdx_gpu.F90:75). A Hermitian, B HPD."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if not jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise TypeError(f"zhegvdx expects complex input, got {a.dtype}")
+    return sygvdx(a, b, il=il, iu=iu, cfg=cfg)

@@ -1,0 +1,92 @@
+"""Blocked WY back-transformation (ormtr/unmtr, side='L', uplo='U').
+
+Applies ``Q = H(n-2) ... H(1) H(0)`` from sytrd/hetrd to a matrix of
+tridiagonal eigenvectors: ``C <- Q @ C``.
+
+Reference: the custom dormtr/zunmtr loop in dsyevd_gpu.F90:119-128 /
+zheevd_gpu.F90:121-130 -- per 64-column block, ``dlarft_gpu`` forms the
+triangular T factor (CUF prep kernel + cublasdsyrk + a single-block
+``finish_T_block_kernel``, dsyevd_gpu.F90:134-276) on stream 1 while
+``dlarfb_gpu`` applies the previous block's ``I - V T^H V^H`` with
+gemm/trmm/gemm on stream 2, overlapped through events.
+
+TPU-native re-design: T is built by the standard larft left-product
+recurrence as a `lax.fori_loop` (sequential scalar-row work is negligible);
+the apply is three MXU gemms. Block-to-block overlap is XLA's scheduling
+problem, not ours -- no streams, no events. One implementation serves the
+real and complex cases (the reference keeps twin routines).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from eigensolver_gpu_tpu.utils.tracing import trace_range
+
+
+def _block_v(a_packed, r0, kb):
+    """Columns of V for reflectors r0..r0+kb-1 out of sytrd's packed storage.
+
+    Reflector r lives in packed column r+1: v[0:r] = a[0:r, r+1], v[r] = 1,
+    v[r+1:] = 0 (LAPACK UPLO='U' convention, see ops/sytrd.py docstring).
+    """
+    n = a_packed.shape[0]
+    cols = a_packed[:, r0 + 1 : r0 + kb + 1]
+    rows = lax.broadcasted_iota(jnp.int32, (n, kb), 0)
+    refl = lax.broadcasted_iota(jnp.int32, (n, kb), 1) + r0
+    v = jnp.where(rows < refl, cols, jnp.zeros((), a_packed.dtype))
+    v = jnp.where(rows == refl, jnp.ones((), a_packed.dtype), v)
+    return v
+
+
+def _larft_left(v, tau_blk):
+    """T for the left-product H(r0+kb-1)...H(r0) = I - V T V^H.
+
+    Prepending H_new to I - V T V^H appends row
+    ``[-tau_new v^H V T, tau_new]`` -- a kb-step recurrence on rows of T
+    (the reference's finish_T_block_kernel, dsyevd_gpu.F90:212-276, does
+    the same triangular recurrence inside one thread block).
+    """
+    kb = v.shape[1]
+    dt = v.dtype
+    m = jnp.conj(v).T @ v  # m[j, i] = v_j^H v_i
+    cols = lax.broadcasted_iota(jnp.int32, (1, kb), 1)[0]
+
+    def body(j, t):
+        mrow = jnp.where(cols < j, m[j], jnp.zeros((), dt))
+        row = -tau_blk[j] * (mrow @ t)
+        row = jnp.where(cols == j, tau_blk[j], row)
+        return lax.dynamic_update_slice(t, row[None, :], (j, 0))
+
+    t0 = jnp.zeros((kb, kb), dt)
+    return lax.fori_loop(0, kb, body, t0)
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def unmtr(a_packed, tau, c, nb=128):
+    """C <- Q @ C with Q from sytrd's packed reflectors. Blocked WY apply."""
+    n = a_packed.shape[0]
+    nref = n - 1
+    if nref <= 0:
+        return c
+    with trace_range("unmtr"):
+        for r0 in range(0, nref, nb):
+            kb = min(nb, nref - r0)
+            v = _block_v(a_packed, r0, kb)
+            t = _larft_left(v, tau[r0 : r0 + kb])
+            # C <- (I - V T V^H) C : two gemms + one small triangular gemm
+            p = jnp.conj(v).T @ c
+            c = c - v @ (t @ p)
+        return c
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def ungtr(a_packed, tau, nb=128):
+    """Explicitly form Q (LAPACK dorgtr/zungtr analogue), for tests/debug."""
+    n = a_packed.shape[0]
+    eye = jnp.eye(n, dtype=a_packed.dtype)
+    return unmtr(a_packed, tau, eye, nb=nb)

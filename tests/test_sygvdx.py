@@ -1,0 +1,90 @@
+"""End-to-end tests for the generalized drivers -- the pytest upgrade of the
+reference's 4-way benchmark/validation harness (test_driver/test_dsygvdx.F90,
+test_zhegvdx.F90): validate against scipy.linalg.eigh(a, b) (the CPU LAPACK
+oracle) with explicit thresholds from BASELINE.md."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from eigensolver_gpu_tpu import SolverConfig, dsygvdx, zhegvdx
+from eigensolver_gpu_tpu.models.syevdx import syevdx
+from eigensolver_gpu_tpu.utils.testing import (
+    compare_values,
+    compare_vectors,
+    ge_residual,
+    orthonormality_error,
+    qe_style_pair,
+    random_hpd_pair,
+    random_spd_pair,
+)
+
+CFG_DC = SolverConfig()
+CFG_XLA = SolverConfig(stedc_backend="xla")
+
+
+def _check_generalized(a, b, w, z, il, iu, rtol=1e-12):
+    w, z = np.asarray(w), np.asarray(z)
+    m = iu - il + 1
+    assert w.shape == (m,) and z.shape == (a.shape[0], m)
+    w_ref, z_ref = scipy.linalg.eigh(a, b)
+    assert compare_values(w, w_ref[il - 1 : iu]) < 1e-11
+    assert ge_residual(a, b, w, z) < rtol, f"residual {ge_residual(a, b, w, z):.2e}"
+    assert orthonormality_error(z, b) < 1e-10 * a.shape[0]
+    assert compare_vectors(np.abs(z), np.abs(z_ref[:, il - 1 : iu])) < 1e-6
+
+
+@pytest.mark.parametrize("cfg", [CFG_XLA, CFG_DC], ids=["xla", "dc"])
+@pytest.mark.parametrize("n,il,iu", [(64, 1, 64), (100, 1, 10), (128, 5, 37)])
+def test_dsygvdx(n, il, iu, cfg):
+    a, b = random_spd_pair(n, seed=10)
+    w, z, info = dsygvdx(a, b, il=il, iu=iu, cfg=cfg)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, il, iu)
+
+
+@pytest.mark.parametrize("cfg", [CFG_XLA, CFG_DC], ids=["xla", "dc"])
+@pytest.mark.parametrize("n,il,iu", [(64, 1, 16), (96, 3, 50)])
+def test_zhegvdx(n, il, iu, cfg):
+    a, b = random_hpd_pair(n, seed=11)
+    w, z, info = zhegvdx(a, b, il=il, iu=iu, cfg=cfg)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, il, iu)
+
+
+def test_zhegvdx_qe_spectrum():
+    """BASELINE.md config 3 shape: clustered occupied bands."""
+    n = 128
+    a, b = qe_style_pair(n, seed=12)
+    w, z, info = zhegvdx(a, b, il=1, iu=n // 4)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, 1, n // 4)
+
+
+def test_info_not_pd():
+    n = 32
+    a, _ = random_spd_pair(n, seed=13)
+    b = -np.eye(n)
+    _, _, info = dsygvdx(a, b, il=1, iu=4)
+    assert int(info) > 0
+
+
+@pytest.mark.parametrize("n", [64, 100])
+def test_syevdx_standard(n):
+    """Standard solver is self-contained (fixes the reference's
+    'works if called from zhegvd only' coupling, zheevd_gpu.F90:88-96)."""
+    a, _ = random_spd_pair(n, seed=14)
+    w, z = syevdx(a, il=1, iu=n)
+    w_ref, z_ref = np.linalg.eigh(a)
+    assert compare_values(np.asarray(w), w_ref) < 1e-11
+    res = np.max(np.abs(a @ np.asarray(z) - np.asarray(z) * np.asarray(w)[None, :]))
+    assert res < 1e-11 * n * max(1.0, np.max(np.abs(w_ref)))
+
+
+def test_padding_path():
+    """n not divisible by nb exercises the decoupled-diagonal padding."""
+    n = 77
+    a, b = random_spd_pair(n, seed=15)
+    w, z, info = dsygvdx(a, b, il=2, iu=30)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, 2, 30)
