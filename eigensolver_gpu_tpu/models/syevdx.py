@@ -65,8 +65,32 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
 
     nb = cfg.nb_tridiag
     npad = -(-n // nb) * nb
-    a_p = _pad_decoupled(a, npad)
 
+    mixed = (
+        cfg.compute_dtype == "float32"
+        and jnp.finfo(jnp.zeros((), a.dtype).real.dtype).bits == 64
+    )
+    if mixed:
+        # BASELINE.md config-5 fast path: O(n^3) factorization stages in
+        # fp32 on the MXU, then Ogita-Aishima sweeps against the fp64
+        # matrix recover fp64 accuracy (ops/refine.py). Needs the full
+        # spectrum, so selection happens after refinement.
+        from eigensolver_gpu_tpu.ops.refine import refine_eigh
+
+        lo_dt = jnp.complex64 if iscomplex else jnp.float32
+        a_p = _pad_decoupled(a.astype(lo_dt), npad)
+        with trace_range("syevdx_fp32"):
+            a_packed, d, e, tau = sytrd(a_p, nb=nb)
+            w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
+            z_tri = q_tri.astype(lo_dt) if iscomplex else q_tri
+            x32 = unmtr(a_packed, tau, z_tri[:, :n], nb=cfg.nb_back)[:n]
+        w, x = refine_eigh(a, x32.astype(a.dtype), sweeps=cfg.refine_iters)
+        order = jnp.argsort(w)
+        w = w[order]
+        x = x[:, order]
+        return w[il - 1 : iu], x[:, il - 1 : iu]
+
+    a_p = _pad_decoupled(a, npad)
     with trace_range("syevdx"):
         a_packed, d, e, tau = sytrd(a_p, nb=nb)
         w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)

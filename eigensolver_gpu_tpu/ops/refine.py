@@ -1,0 +1,68 @@
+"""Mixed-precision eigenpair refinement (Ogita-Aishima iteration).
+
+The reference runs everything in fp64 because Volta has fast fp64 units.
+A TPU's MXU is fp32/bf16, so the BASELINE.md fast path (config 5) runs
+the O(n^3) factorization stages in fp32 and recovers fp64 accuracy by
+iterative refinement against the fp64 matrix -- a capability the
+reference does not have.
+
+Algorithm (Ogita & Aishima, 'Iterative refinement for symmetric
+eigenvalue decomposition', 2018): given approximate eigenvectors X of
+symmetric/Hermitian A,
+
+    R = I - X^H X          (orthogonality defect)
+    S = X^H A X            (near-diagonal)
+    lambda_i = S_ii / (1 - R_ii)
+    E_ij = (S_ij + lambda_j R_ij) / (lambda_j - lambda_i)   (separated)
+    E_ij = R_ij / 2                                          (else, and i=j)
+    X <- X + X E
+
+Quadratic convergence while eigenvalue gaps exceed the working error;
+clustered pairs fall back to the R/2 term, which still restores
+orthogonality (the invariant subspace is what converges for clusters).
+Cost per sweep: 4 gemms in the target precision -- all MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from eigensolver_gpu_tpu.utils.tracing import trace_range
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def refine_eigh(a, x, sweeps=2):
+    """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of
+    dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype."""
+    n = a.shape[0]
+    dt = a.dtype
+    x = x.astype(dt)
+    eye = jnp.eye(x.shape[1], dtype=dt)
+    eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
+
+    with trace_range("refine_eigh"):
+        w = None
+        for _ in range(sweeps):
+            r = eye - jnp.conj(x.T) @ x
+            s = jnp.conj(x.T) @ (a @ x)
+            lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
+                jnp.zeros((), dt).real.dtype
+            )
+            denom = lam[None, :] - lam[:, None]
+            anorm = jnp.max(jnp.abs(lam))
+            # separation threshold: below it, pairs are treated as a
+            # cluster and only orthogonality is corrected
+            sep = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
+            safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
+            e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
+            e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
+            x = x + x @ e
+            w = lam
+        # final Rayleigh quotients + column normalization
+        norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=0))
+        x = x / norms[None, :].astype(dt)
+        w = jnp.sum(jnp.conj(x) * (a @ x), axis=0).real
+        return w, x

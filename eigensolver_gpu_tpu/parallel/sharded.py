@@ -1,0 +1,95 @@
+"""Sharded generalized eigensolves over a TPU mesh.
+
+TPU-native 'scale the big axis' story (SURVEY.md §5.7): the reference has
+no distribution at all, so these are capability extensions designed for
+ICI, not translations.
+
+Strategy (round 1):
+  * tensor parallel ('tp'): A, B, C, Z are sharded over matrix rows with
+    NamedSharding; the O(n^3) phases -- the two-sided triangular-solve
+    reduction to standard form and the eigenvector back-substitution --
+    run as sharded XLA ops (XLA inserts all_gather/psum/collective-matmul
+    over ICI under pjit semantics). The tridiagonalization + stedc of the
+    standard matrix currently run replicated (their sharded variants are
+    the scaling roadmap; the gemm-heavy phases dominate wall-time for the
+    n=16384 config).
+  * data parallel ('dp'): a batch of independent (A_k, B_k) solves
+    (Quantum ESPRESSO k-points) vmapped over the batch axis and sharded
+    over 'dp' -- each device runs whole solves, zero collectives inside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eigensolver_gpu_tpu.models.sygvdx import SygvdxResult, sygvdx
+from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.models.syevdx import syevdx
+from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
+
+
+def sygvdx_sharded(a, b, mesh, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
+    """Tensor-parallel generalized solve: rows of A/B/Z sharded over 'tp'."""
+    n = a.shape[0]
+    if iu is None:
+        iu = n
+    row_sharded = NamedSharding(mesh, P("tp", None))
+    repl = NamedSharding(mesh, P())
+
+    a = jax.device_put(a, row_sharded)
+    b = jax.device_put(b, row_sharded)
+
+    @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
+    def step(a, b, il, iu, cfg):
+        u, info = cholesky_upper(b)
+        # two-sided triangular solve with sharded operands; XLA partitions
+        # the blocked solves and inserts ICI collectives
+        x = lax.linalg.triangular_solve(
+            u, a, left_side=True, lower=False, transpose_a=True, conjugate_a=True
+        )
+        c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
+        c = (c + jnp.conj(c.T)) / 2
+        # standard solve on the (currently replicated) standard matrix
+        c = lax.with_sharding_constraint(c, repl)
+        w, y = syevdx(c, il=il, iu=iu, cfg=cfg)
+        y = lax.with_sharding_constraint(y, NamedSharding(mesh, P("tp", None)))
+        z = lax.linalg.triangular_solve(
+            u, y, left_side=True, lower=False, transpose_a=False
+        )
+        return SygvdxResult(w=w, z=z, info=info)
+
+    return step(a, b, il, iu, cfg)
+
+
+def sygvdx_batched(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
+    """vmap over a batch of (A_k, B_k) pairs (BASELINE.md config 4)."""
+    fn = functools.partial(sygvdx, il=il, iu=iu, cfg=cfg)
+    return jax.vmap(fn)(a, b)
+
+
+def sygvdx_batched_sharded(
+    a, b, mesh, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG
+):
+    """Batched solves with the batch axis sharded over 'dp' x 'tp'.
+
+    Every device owns batch/n_devices whole solves -- the QE k-point
+    pattern. Flattens the mesh so all devices participate.
+    """
+    ndev = mesh.devices.size
+    if a.shape[0] % ndev != 0:
+        raise ValueError(f"batch {a.shape[0]} not divisible by {ndev} devices")
+    batch_sharded = NamedSharding(mesh, P(("dp", "tp"), None, None))
+    a = jax.device_put(a, batch_sharded)
+    b = jax.device_put(b, batch_sharded)
+    fn = functools.partial(sygvdx, il=il, iu=iu, cfg=cfg)
+
+    @jax.jit
+    def step(a, b):
+        return jax.vmap(fn)(a, b)
+
+    return step(a, b)

@@ -1,0 +1,64 @@
+"""Sharded/batched solver tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.linalg
+
+from eigensolver_gpu_tpu import SolverConfig
+from eigensolver_gpu_tpu.parallel import (
+    make_mesh,
+    sygvdx_batched,
+    sygvdx_batched_sharded,
+    sygvdx_sharded,
+)
+from eigensolver_gpu_tpu.utils.testing import ge_residual, random_spd_pair
+
+CFG = SolverConfig()
+
+
+def _batch_pairs(batch, n, seed=0):
+    a = np.empty((batch, n, n))
+    b = np.empty((batch, n, n))
+    for k in range(batch):
+        a[k], b[k] = random_spd_pair(n, seed=seed + k)
+    return a, b
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, dp=2)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_sygvdx_sharded_tp():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8)
+    n = 64
+    a, b = random_spd_pair(n, seed=20)
+    w, z, info = sygvdx_sharded(a, b, mesh, il=1, iu=16, cfg=CFG)
+    assert int(info) == 0
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(np.asarray(w), w_ref[:16], atol=1e-11)
+    assert ge_residual(a, b, np.asarray(w), np.asarray(z)) < 1e-12
+
+
+def test_sygvdx_batched():
+    batch, n = 4, 32
+    a, b = _batch_pairs(batch, n, seed=30)
+    w, z, info = sygvdx_batched(a, b, il=1, iu=8, cfg=CFG)
+    assert np.asarray(info).shape == (batch,)
+    for k in range(batch):
+        w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
+        assert np.allclose(np.asarray(w)[k], w_ref[:8], atol=1e-11)
+        assert ge_residual(a[k], b[k], np.asarray(w)[k], np.asarray(z)[k]) < 1e-12
+
+
+def test_sygvdx_batched_sharded_dp():
+    mesh = make_mesh(8, dp=2)
+    batch, n = 8, 32
+    a, b = _batch_pairs(batch, n, seed=40)
+    w, z, info = sygvdx_batched_sharded(a, b, mesh, il=1, iu=4, cfg=CFG)
+    for k in range(batch):
+        w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
+        assert np.allclose(np.asarray(w)[k], w_ref[:4], atol=1e-11)
