@@ -81,7 +81,7 @@ def _larfg(alpha, xnormsq, iscomplex):
     return beta, tau, scale
 
 
-def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex):
+def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, use_pallas):
     """dlatrd-equivalent: process the nb columns [panel_end-nb, panel_end).
 
     Returns updated (a_mb, v_p, w_p, d, e, tau). v_p/w_p are (mb, nb)
@@ -121,7 +121,16 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex):
         # w = tau * (A v - Vp (Wp^H v) - Wp (Vp^H v)); then the -1/2 tau
         # (w^H v) v correction (dlatrd tail / stacked_dgemv_N_finish_W,
         # dsytrd_gpu.F90:618-723, here three MXU products + an axpy).
-        y = a_mb @ v
+        # The A@v is the flops-dominant op of the whole reduction (the
+        # reference's dsymv_gpu); the Pallas path reads only the upper
+        # triangle tiles, halving HBM traffic. Rows >= cj of y are junk
+        # either way and masked below.
+        if use_pallas:
+            from eigensolver_gpu_tpu.ops.symv_pallas import symv_auto
+
+            y = symv_auto(a_mb, v)
+        else:
+            y = a_mb @ v
         z1 = jnp.conj(w_p).T @ v
         z2 = jnp.conj(v_p).T @ v
         y = y - v_p @ z1 - w_p @ z2
@@ -156,8 +165,8 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex):
     return lax.fori_loop(0, nb, col_step, (a_mb, v_p, w_p, d, e, tau))
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "bucket"))
-def sytrd_blocked(a, nb=32, bucket=512):
+@functools.partial(jax.jit, static_argnames=("nb", "bucket", "use_pallas"))
+def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
     """Full blocked tridiagonalization. Returns (a_packed, d, e, tau)."""
     n = a.shape[0]
     if n % nb != 0:
@@ -182,14 +191,15 @@ def sytrd_blocked(a, nb=32, bucket=512):
             npanels = (mb - lo) // nb
             a_mb = a[:mb, :mb]
             rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
+            pallas_ok = use_pallas and not iscomplex and mb % 256 == 0
 
-            def panel_step(p, carry, mb=mb, rows=rows):
+            def panel_step(p, carry, mb=mb, rows=rows, pallas_ok=pallas_ok):
                 a_mb, d, e, tau = carry
                 panel_end = mb - p * nb
                 v_p = jnp.zeros((mb, nb), dtype)
                 w_p = jnp.zeros((mb, nb), dtype)
                 a_mb, v_p, w_p, d, e, tau = _panel_columns(
-                    a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex
+                    a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, pallas_ok
                 )
                 # Trailing rank-2nb update A -= V W^H + W V^H restricted to
                 # the [0, t) x [0, t) block (cuBLAS syr2k/her2k in the
@@ -210,8 +220,8 @@ def sytrd_blocked(a, nb=32, bucket=512):
     return a, d, e[: n - 1] if n > 1 else e[:0], tau[: n - 1] if n > 1 else tau[:0]
 
 
-def sytrd(a, nb=32, bucket=512):
+def sytrd(a, nb=32, bucket=512, use_pallas=False):
     """Alias used by the drivers (real and complex share one implementation;
     the reference maintains twin 728/883-line files, dsytrd_gpu.F90 and
     zhetrd_gpu.F90 -- dtype polymorphism replaces the duplication)."""
-    return sytrd_blocked(a, nb=nb, bucket=bucket)
+    return sytrd_blocked(a, nb=nb, bucket=bucket, use_pallas=use_pallas)

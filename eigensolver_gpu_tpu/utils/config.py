@@ -48,7 +48,7 @@ class SolverConfig:
     sygst_mode: str = "blocked"
     compute_dtype: Optional[str] = None
     refine_iters: int = 2
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     def __post_init__(self):
         if self.stedc_backend not in ("dc", "xla"):
