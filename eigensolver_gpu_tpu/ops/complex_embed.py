@@ -74,6 +74,15 @@ def zhegvdx_embedded(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_
     return EmbeddedResult(w=w, zr=zr, zi=zi, info=info)
 
 
+def zhegvdx_embedded_batched(
+    ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG
+):
+    """vmap of the embedded solve over a leading batch axis (QE k-points
+    on complex-free TPU stacks; BASELINE.md config 4)."""
+    fn = functools.partial(zhegvdx_embedded, il=il, iu=iu, cfg=cfg)
+    return jax.vmap(fn)(ar, ai, br, bi)
+
+
 def zhegvdx_via_embedding(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     """Convenience wrapper taking complex numpy/jax arrays on the host."""
     import numpy as np

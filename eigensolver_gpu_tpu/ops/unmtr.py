@@ -28,18 +28,21 @@ from jax import lax
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
-def _block_v(a_packed, r0, kb):
+def _block_v(a_packed, r0, kb, nref):
     """Columns of V for reflectors r0..r0+kb-1 out of sytrd's packed storage.
 
     Reflector r lives in packed column r+1: v[0:r] = a[0:r, r+1], v[r] = 1,
     v[r+1:] = 0 (LAPACK UPLO='U' convention, see ops/sytrd.py docstring).
+    Reflector indices >= nref (ragged last block) come out as zero columns,
+    which combined with tau=0 make H=I.
     """
     n = a_packed.shape[0]
-    cols = a_packed[:, r0 + 1 : r0 + kb + 1]
+    cols = lax.dynamic_slice(a_packed, (0, r0 + 1), (n, kb))
     rows = lax.broadcasted_iota(jnp.int32, (n, kb), 0)
     refl = lax.broadcasted_iota(jnp.int32, (n, kb), 1) + r0
-    v = jnp.where(rows < refl, cols, jnp.zeros((), a_packed.dtype))
-    v = jnp.where(rows == refl, jnp.ones((), a_packed.dtype), v)
+    valid = refl < nref
+    v = jnp.where((rows < refl) & valid, cols, jnp.zeros((), a_packed.dtype))
+    v = jnp.where((rows == refl) & valid, jnp.ones((), a_packed.dtype), v)
     return v
 
 
@@ -68,20 +71,35 @@ def _larft_left(v, tau_blk):
 
 @functools.partial(jax.jit, static_argnames=("nb",))
 def unmtr(a_packed, tau, c, nb=128):
-    """C <- Q @ C with Q from sytrd's packed reflectors. Blocked WY apply."""
+    """C <- Q @ C with Q from sytrd's packed reflectors. Blocked WY apply.
+
+    A single fori_loop over uniform blocks (the ragged tail is padded
+    with tau=0 identity reflectors) so the whole apply is ONE traced
+    instance regardless of n -- remote-compile time matters on the
+    target platform as much as run time.
+    """
     n = a_packed.shape[0]
     nref = n - 1
     if nref <= 0:
         return c
+    nblocks = -(-nref // nb)
+    tau_pad = jnp.concatenate([tau, jnp.zeros((nblocks * nb - nref,), tau.dtype)])
+    # pad columns so the tail-block dynamic_slice never clamps (a clamped
+    # start would silently misalign reflector columns)
+    a_ext = jnp.concatenate(
+        [a_packed, jnp.zeros((n, nblocks * nb + 1 - n), a_packed.dtype)], axis=1
+    )
+
+    def body(i, c):
+        r0 = i * nb
+        v = _block_v(a_ext, r0, nb, nref)
+        t = _larft_left(v, lax.dynamic_slice(tau_pad, (r0,), (nb,)))
+        # C <- (I - V T V^H) C : two gemms + one small triangular gemm
+        p = jnp.conj(v).T @ c
+        return c - v @ (t @ p)
+
     with trace_range("unmtr"):
-        for r0 in range(0, nref, nb):
-            kb = min(nb, nref - r0)
-            v = _block_v(a_packed, r0, kb)
-            t = _larft_left(v, tau[r0 : r0 + kb])
-            # C <- (I - V T V^H) C : two gemms + one small triangular gemm
-            p = jnp.conj(v).T @ c
-            c = c - v @ (t @ p)
-        return c
+        return lax.fori_loop(0, nblocks, body, c)
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))

@@ -45,7 +45,7 @@ class SolverConfig:
     nb_back: int = 128
     stedc_leaf: int = 64
     stedc_backend: str = "dc"
-    sygst_mode: str = "blocked"
+    sygst_mode: str = "full"
     compute_dtype: Optional[str] = None
     refine_iters: int = 2
     use_pallas: bool = False
