@@ -17,7 +17,11 @@ printed compare_utils-style (test_driver/toolbox.F90) when n is small
 enough to afford the transfer.
 
 Usage: python benchmarks/compare.py [n] [--dtype d|z] [--iu IU]
-       [--cases cpu,xla,dc,mp] [--repeat R]
+       [--cases cpu,xla,dc,mp] [--repeat R] [--input FILE.npz]
+
+--input replays a real workload from an .npz with arrays 'a' and 'b'
+(the reference's unformatted-file replay mode for Quantum ESPRESSO
+matrices, test_dsygvdx.F90:120-145).
 """
 
 from __future__ import annotations
@@ -83,15 +87,21 @@ def main():
     ap.add_argument("--iu", type=int, default=None)
     ap.add_argument("--cases", default="cpu,xla,dc,mp")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--input", default=None)
     args = ap.parse_args()
-    n = args.n
+    if args.input:
+        data = np.load(args.input)
+        a_h, b_h = data["a"], data["b"]
+        n = a_h.shape[0]
+        args.dtype = "z" if np.iscomplexobj(a_h) else "d"
+    else:
+        n = args.n
+        if args.dtype == "z":
+            a_h, b_h = random_hpd_pair(n, seed=0)
+        else:
+            a_h, b_h = random_spd_pair(n, seed=0)
     iu = args.iu or max(n // 4, 1)
     cases = args.cases.split(",")
-
-    if args.dtype == "z":
-        a_h, b_h = random_hpd_pair(n, seed=0)
-    else:
-        a_h, b_h = random_spd_pair(n, seed=0)
     print(f"n={n} dtype={'complex128' if args.dtype=='z' else 'float64'} "
           f"il=1 iu={iu} device={jax.devices()[0]}", flush=True)
     a = jnp.asarray(a_h)

@@ -180,20 +180,25 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     w = jnp.where(alive, lam, ds)
 
     # --- Gu/Eisenstat recomputed z via the Loewner formula ---
+    # zhat_i^2 = prod_k (lam_k - dp_i) / prod_{k != i} (dp_k - dp_i),
     # lam[k] - dp[i] = (sigma_k - dp_i) + mu_k, with sigma_k - dp_i an
-    # exact difference of stored pole values.
+    # exact difference of stored pole values. Evaluated as a direct
+    # product of paired ratios -- NOT log/exp (the platform's f64
+    # transcendentals are only ~1e-8 accurate, which poisoned the
+    # eigenvectors); interlacing telescopes the partial products into
+    # f64 range.
     sig_minus_d = jnp.where(sig_right[:, None], -(pd - gap[:, None]), -pd)
     lam_minus_d = sig_minus_d + mu[:, None]  # [k, i] = lam_k - dp_i
     pdT = -pd  # [k, i] = dp_k - dp_i
     eye = jnp.eye(n2, dtype=bool)
     both = alive[:, None] & alive[None, :]
-    tiny = jnp.finfo(dt).tiny
-    num = jnp.where(both, jnp.log(jnp.maximum(jnp.abs(lam_minus_d), tiny)), 0.0)
-    den = jnp.where(
-        both & ~eye, jnp.log(jnp.maximum(jnp.abs(pdT), tiny)), 0.0
+    ratio = jnp.where(
+        both & ~eye,
+        lam_minus_d / jnp.where(pdT == 0, jnp.ones((), dt), pdT),
+        jnp.ones((), dt),
     )
-    log_ratio = jnp.sum(num - den, axis=0)  # over k, per pole i
-    zhat_abs = jnp.exp(0.5 * log_ratio)
+    own = jnp.where(alive, jnp.abs(jnp.diagonal(lam_minus_d)), 1.0)
+    zhat_abs = jnp.sqrt(jnp.abs(jnp.prod(ratio, axis=0)) * own)
     zhat = jnp.where(alive, jnp.where(zs >= 0, zhat_abs, -zhat_abs), 0.0)
 
     # --- eigenvector assembly ---
