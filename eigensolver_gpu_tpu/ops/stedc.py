@@ -223,14 +223,27 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     return w[order], qnew[:, order]
 
 
-@functools.partial(jax.jit, static_argnames=("leaf",))
-def stedc(d, e, leaf=64):
-    """All eigenpairs of the symmetric tridiagonal (d, e), on device."""
+@functools.partial(jax.jit, static_argnames=("leaf", "leaf_solver"))
+def stedc(d, e, leaf=64, leaf_solver="jacobi"):
+    """All eigenpairs of the symmetric tridiagonal (d, e), on device.
+
+    leaf_solver: 'jacobi' (ops/jacobi.py -- robust on platforms whose
+    fp64 is double-word emulated and whose eigh quality is uncertain) or
+    'xla' (jnp.linalg.eigh).
+    """
+    from eigensolver_gpu_tpu.ops.jacobi import jacobi_eigh
+
     n = d.shape[0]
     dt = d.dtype
+
+    def leaf_eigh(tb):
+        if leaf_solver == "jacobi" and tb.shape[-1] % 2 == 0:
+            return jacobi_eigh(tb)
+        return jnp.linalg.eigh(tb)
+
     if n <= 2 or n <= leaf:
         t = jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1)
-        return jnp.linalg.eigh(t)
+        return leaf_eigh(t)
 
     with trace_range("stedc"):
         # scale to unit norm-ish (dstedc scales by orgnrm)
@@ -268,7 +281,7 @@ def stedc(d, e, leaf=64):
             + e_in[:, :, None] * ((ii[:, None] + 1) == ii[None, :])
             + e_in[:, None, :] * ((ii[None, :] + 1) == ii[:, None])
         )
-        wb, qb = jnp.linalg.eigh(tb)  # (nblk, leaf), (nblk, leaf, leaf)
+        wb, qb = leaf_eigh(tb)  # (nblk, leaf), (nblk, leaf, leaf)
 
         gap_scale = jnp.maximum(jnp.max(jnp.abs(dp_full)), 1.0)
 
