@@ -99,9 +99,14 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, use_pall
         a_col = lax.dynamic_slice(a_mb, (0, cj), (mb, 1))[:, 0]
         # Rank-2 correction from this panel's already-computed columns
         # (dlatrd's leading gemv pair; zlatrd conjugates the row picks).
-        v_row = lax.dynamic_slice(v_p, (cj, 0), (1, nb))[0]
-        w_row = lax.dynamic_slice(w_p, (cj, 0), (1, nb))[0]
-        a_col = a_col - v_p @ jnp.conj(w_row) - w_p @ jnp.conj(v_row)
+        # One stacked product [V W] @ conj([w_row; v_row]) -- the
+        # reference fuses the same pair (stacked_dgemv_N,
+        # dsytrd_gpu.F90:511).
+        vw = jnp.concatenate([v_p, w_p], axis=1)  # (mb, 2nb)
+        wv_row = lax.dynamic_slice(
+            jnp.concatenate([w_p, v_p], axis=1), (cj, 0), (1, 2 * nb)
+        )[0]
+        a_col = a_col - vw @ jnp.conj(wv_row)
 
         d_val = a_col[cj].real if iscomplex else a_col[cj]
 
@@ -131,9 +136,11 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, use_pall
             y = symv_auto(a_mb, v)
         else:
             y = a_mb @ v
-        z1 = jnp.conj(w_p).T @ v
-        z2 = jnp.conj(v_p).T @ v
-        y = y - v_p @ z1 - w_p @ z2
+        # z = [W V]^H v then y -= [V W] z : two stacked products instead
+        # of four (stacked_dgemv_T / stacked_dgemv_N_finish_W,
+        # dsytrd_gpu.F90:449,618)
+        z12 = jnp.conj(jnp.concatenate([w_p, v_p], axis=1)).T @ v
+        y = y - vw @ z12
         w = tau_k * y
         alpha_c = -0.5 * tau_k * jnp.vdot(w, v)
         w = w + alpha_c * v

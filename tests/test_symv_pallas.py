@@ -22,3 +22,16 @@ def test_symv_bad_tile():
     a = np.zeros((100, 100))
     with pytest.raises(ValueError):
         symv_auto(a, np.zeros(100), tile=64)
+
+
+def test_hemv_planar_matches_dense():
+    from eigensolver_gpu_tpu.ops.hemv_pallas import hemv_auto
+    import jax.numpy as jnp
+
+    n, tile = 256, 128
+    rng = np.random.default_rng(61)
+    t = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = (t + t.conj().T) / 2
+    v = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y = np.asarray(hemv_auto(jnp.asarray(a), jnp.asarray(v), tile=tile))
+    np.testing.assert_allclose(y, a @ v, rtol=1e-12, atol=1e-12 * n)
