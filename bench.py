@@ -27,6 +27,10 @@ import numpy as np
 
 import jax
 
+if os.environ.get("EIGSOLVE_BENCH_PLATFORM"):
+    # for smoke tests off the TPU tunnel (the session sitecustomize
+    # pre-imports jax, so env vars alone are too late)
+    jax.config.update("jax_platforms", os.environ["EIGSOLVE_BENCH_PLATFORM"])
 jax.config.update("jax_enable_x64", True)
 # Remote compiles through the tunnel are slow; persist them.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -58,30 +62,50 @@ def main():
     if dtype == "complex128":
         a_h, b_h = random_hpd_pair(n, seed=0)
         name = f"zhegvdx_n{n}_walltime"
+        # the serving TPU stack has no complex dtypes ("Element type C128
+        # is not supported"); solve the Hermitian problem through the
+        # 2n-real embedding (ops/complex_embed.py) -- same problem, same
+        # answer, fully on device.
+        from eigensolver_gpu_tpu.ops.complex_embed import zhegvdx_embedded
+
+        args = tuple(
+            jnp.asarray(x)
+            for x in (a_h.real, a_h.imag, b_h.real, b_h.imag)
+        )
+
+        def solve_checksum(ar, ai, br, bi):
+            w, zr, zi, info = zhegvdx_embedded(ar, ai, br, bi, il=1, iu=iu, cfg=cfg)
+            # residual of the complex problem in planar arithmetic
+            rr = ar @ zr - ai @ zi - (br @ zr - bi @ zi) * w[None, :]
+            ri = ar @ zi + ai @ zr - (br @ zi + bi @ zr) * w[None, :]
+            r2 = jnp.sum(rr * rr + ri * ri, axis=0)
+            anorm = jnp.max(jnp.sum(jnp.sqrt(ar * ar + ai * ai), axis=1))
+            res = jnp.max(jnp.sqrt(r2)) / (n * anorm)
+            return jnp.sum(w), res, info
+
     else:
         a_h, b_h = random_spd_pair(n, seed=0)
         name = f"dsygvdx_n{n}_walltime"
-    a = jnp.asarray(a_h)
-    b = jnp.asarray(b_h)
+        args = (jnp.asarray(a_h), jnp.asarray(b_h))
 
-    def solve_checksum(a, b):
-        w, z, info = sygvdx(a, b, il=1, iu=iu, cfg=cfg)
-        # device-side residual so accuracy ships without bulk transfers
-        r = a @ z - (b @ z) * w[None, :].astype(z.dtype)
-        anorm = jnp.max(jnp.sum(jnp.abs(a), axis=1))
-        res = jnp.max(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0))) / (n * anorm)
-        return jnp.sum(w), res, info
+        def solve_checksum(a, b):
+            w, z, info = sygvdx(a, b, il=1, iu=iu, cfg=cfg)
+            # device-side residual so accuracy ships without bulk transfers
+            r = a @ z - (b @ z) * w[None, :].astype(z.dtype)
+            anorm = jnp.max(jnp.sum(jnp.abs(a), axis=1))
+            res = jnp.max(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=0))) / (n * anorm)
+            return jnp.sum(w), res, info
 
     f = jax.jit(solve_checksum)
 
     t0 = wallclock()
-    wsum, res, info = jax.tree.map(np.asarray, f(a, b))
+    wsum, res, info = jax.tree.map(np.asarray, f(*args))
     log(f"first call (compile+run): {wallclock()-t0:.1f}s residual={float(res):.3e} info={int(info)}")
 
     times = []
     for _ in range(3):
         t0 = wallclock()
-        out = f(a, b)
+        out = f(*args)
         np.asarray(out[0])
         times.append(wallclock() - t0)
     ours_ms = min(times) * 1e3
