@@ -74,7 +74,10 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     # rotation chain; backward error O(eps ||T||)) ---
     gap_min = 16.0 * eps * gap_scale
     rank = jnp.cumsum(alive.astype(dt)) - alive.astype(dt)  # alive index
-    shifted = jnp.where(alive, ds - rank * gap_min, -jnp.inf)
+    # finite sentinel, NOT -inf: the platform's double-word f64 emulation
+    # produces NaN from inf arithmetic (inf - inf in the hi/lo split)
+    neg_big = jnp.min(ds) - 2.0 * gap_scale - 1.0
+    shifted = jnp.where(alive, ds - rank * gap_min, neg_big)
     dsep = lax.cummax(shifted) + rank * gap_min
     dp = jnp.where(alive, jnp.maximum(ds, dsep), ds)  # perturbed poles
 
