@@ -71,8 +71,13 @@ def jacobi_eigh(a, sweeps=10):
         app = a[:, p, p]
         aqq = a[:, q, q]
         apq = a[:, p, q]
-        # Golub & Van Loan 8.4.1 rotation that zeroes a[p,q]
-        nz = jnp.abs(apq) > 0
+        # Golub & Van Loan 8.4.1 rotation that zeroes a[p,q]. Skip
+        # rotations whose off-diagonal is negligible RELATIVE to the
+        # diagonals: this is the classical convergence test, and it
+        # bounds |tau| <= 1/eps so the division can never overflow
+        # (the platform's double-word f64 turns inf arithmetic into NaN).
+        eps = jnp.finfo(dt).eps
+        nz = jnp.abs(apq) > eps * (jnp.abs(app) + jnp.abs(aqq)) / 2
         safe_apq = jnp.where(nz, apq, jnp.ones((), dt))
         tau = (aqq - app) / (2.0 * safe_apq)
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
