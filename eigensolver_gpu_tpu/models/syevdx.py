@@ -26,6 +26,7 @@ from eigensolver_gpu_tpu.ops.stedc import stedc
 from eigensolver_gpu_tpu.ops.sytrd import sytrd
 from eigensolver_gpu_tpu.ops.unmtr import unmtr
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
@@ -47,6 +48,7 @@ def _pad_decoupled(a, npad):
     return out
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
 def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     """Eigenpairs il..iu (1-based, ascending, LAPACK RANGE='I') of dense

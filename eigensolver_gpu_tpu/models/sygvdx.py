@@ -32,6 +32,7 @@ from eigensolver_gpu_tpu.models.syevdx import syevdx
 from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
 from eigensolver_gpu_tpu.ops.sygst import sygst
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
@@ -41,6 +42,7 @@ class SygvdxResult(NamedTuple):
     info: jax.Array  # int32: 0 ok, >0 B not positive definite
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
 def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     """Solve A x = lambda B x for eigenpairs il..iu (1-based, ascending)."""

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from eigensolver_gpu_tpu.models.sygvdx import sygvdx
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 
 
 class EmbeddedResult(NamedTuple):
@@ -53,6 +54,7 @@ def embed_herm(ar, ai):
     return jnp.concatenate([top, bot], axis=0)
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
 def zhegvdx_embedded(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     """Complex generalized solve via the real embedding.

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.precision import highest_precision
+
 
 def _round_robin(m):
     """(rounds, m/2) index arrays p, q with p < q, disjoint within a round."""
@@ -44,6 +46,7 @@ def _round_robin(m):
     return np.array(rounds_p, np.int32), np.array(rounds_q, np.int32)
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("sweeps",))
 def jacobi_eigh(a, sweeps=10):
     """Eigendecomposition of a batch of small symmetric matrices.

@@ -30,9 +30,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("sweeps",))
 def refine_eigh(a, x, sweeps=2):
     """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 _SECULAR_ITERS = 60
@@ -226,6 +227,7 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     return w[order], qnew[:, order]
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("leaf", "leaf_solver"))
 def stedc(d, e, leaf=64, leaf_solver="jacobi"):
     """All eigenpairs of the symmetric tridiagonal (d, e), on device.

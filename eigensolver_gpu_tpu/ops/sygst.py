@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
@@ -32,6 +33,7 @@ def _tsolve(u, b, *, left, trans):
     )
 
 
+@highest_precision
 def sygst_full(a, u):
     """Whole-matrix C = U^{-H} A U^{-1} via two triangular solves."""
     with trace_range("sygst_full"):
@@ -40,6 +42,7 @@ def sygst_full(a, u):
         return (c + jnp.conjugate(c.T)) / 2
 
 
+@highest_precision
 def sygst_blocked(a, u, nb=512):
     """Blocked LAPACK-style recurrence (dsygst_gpu.F90:50-96 shape).
 

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
@@ -172,6 +173,7 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, use_pall
     return lax.fori_loop(0, nb, col_step, (a_mb, v_p, w_p, d, e, tau))
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("nb", "bucket", "use_pallas"))
 def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
     """Full blocked tridiagonalization. Returns (a_packed, d, e, tau)."""

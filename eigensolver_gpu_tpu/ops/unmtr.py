@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
@@ -69,6 +70,7 @@ def _larft_left(v, tau_blk):
     return lax.fori_loop(0, kb, body, t0)
 
 
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("nb",))
 def unmtr(a_packed, tau, c, nb=128):
     """C <- Q @ C with Q from sytrd's packed reflectors. Blocked WY apply.
