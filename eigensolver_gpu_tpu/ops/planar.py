@@ -1,0 +1,257 @@
+"""Planar complex linear algebra: complex matrices as (re, im) real pairs.
+
+The target TPU stack has no complex dtypes (SURVEY of the platform in
+ops/complex_embed.py), so the native-flop-count complex path represents
+every complex array as a pair of real arrays and implements the needed
+BLAS/LAPACK pieces in planar real arithmetic:
+
+  * ``pmatmul``        -- 3-multiplication Karatsuba complex gemm
+  * ``ptrsm_left_lower`` -- blocked forward substitution, L X = B
+  * ``pcholesky_lower`` -- blocked planar Cholesky, B = L L^H
+  * upper-triangular wrappers via conjugate/flip identities
+
+These are the building blocks of the planar zhegvdx driver
+(models/zhegvdx_planar.py) -- cf. the reference's use of cuSOLVER
+Zpotrf + cuBLAS ztrsm (zhegvdx_gpu.F90:135,169), re-implemented here
+because no vendor complex library exists on this hardware.
+
+A planar array is a `(re, im)` tuple of equal-shape real jnp arrays.
+All functions are shape-polymorphic and jit-friendly (fixed shapes,
+fori_loop based blocking).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from eigensolver_gpu_tpu.utils.precision import highest_precision
+
+
+def pconj(x):
+    return (x[0], -x[1])
+
+
+def pT(x):
+    """Transpose (no conjugation)."""
+    return (x[0].T, x[1].T)
+
+
+def pH(x):
+    """Conjugate transpose."""
+    return (x[0].T, -x[1].T)
+
+
+def padd(x, y):
+    return (x[0] + y[0], x[1] + y[1])
+
+
+def psub(x, y):
+    return (x[0] - y[0], x[1] - y[1])
+
+
+def pscale(x, sr, si=0.0):
+    """Multiply by a (possibly planar-scalar) complex scalar."""
+    return (x[0] * sr - x[1] * si, x[0] * si + x[1] * sr)
+
+
+def pmatmul(x, y):
+    """Karatsuba complex product: 3 real gemms instead of 4."""
+    m1 = x[0] @ y[0]
+    m2 = x[1] @ y[1]
+    m3 = (x[0] + x[1]) @ (y[0] + y[1])
+    return (m1 - m2, m3 - m1 - m2)
+
+
+def pdiv(x, y):
+    """Elementwise complex division x / y."""
+    den = y[0] * y[0] + y[1] * y[1]
+    safe = jnp.where(den == 0, jnp.ones_like(den), den)
+    return (
+        (x[0] * y[0] + x[1] * y[1]) / safe,
+        (x[1] * y[0] - x[0] * y[1]) / safe,
+    )
+
+
+def to_planar(a):
+    """Split a complex (numpy/jax) array into a planar pair."""
+    a = jnp.asarray(a)
+    return (jnp.real(a), jnp.imag(a))
+
+
+def from_planar(x):
+    """Assemble a complex array (host-side; for tests off-TPU)."""
+    import numpy as np
+
+    return np.asarray(x[0]) + 1j * np.asarray(x[1])
+
+
+def _fsub_base(lr, li, br, bi, nb):
+    """Forward substitution for the nb x nb planar lower block L X = B."""
+
+    def body(i, x):
+        xr, xi = x
+        lrow_r = lax.dynamic_slice(lr, (i, 0), (1, nb))[0]
+        lrow_i = lax.dynamic_slice(li, (i, 0), (1, nb))[0]
+        acc_r = lrow_r @ xr - lrow_i @ xi  # (m,)
+        acc_i = lrow_r @ xi + lrow_i @ xr
+        br_i = lax.dynamic_slice(br, (i, 0), (1, br.shape[1]))[0]
+        bi_i = lax.dynamic_slice(bi, (i, 0), (1, br.shape[1]))[0]
+        num_r = br_i - acc_r
+        num_i = bi_i - acc_i
+        dr = lr[i, i]
+        di = li[i, i]
+        den = dr * dr + di * di
+        safe = jnp.where(den == 0, jnp.ones_like(den), den)
+        row_r = (num_r * dr + num_i * di) / safe
+        row_i = (num_i * dr - num_r * di) / safe
+        xr = lax.dynamic_update_slice(xr, row_r[None, :], (i, 0))
+        xi = lax.dynamic_update_slice(xi, row_i[None, :], (i, 0))
+        return xr, xi
+
+    x0 = (jnp.zeros_like(br), jnp.zeros_like(bi))
+    return lax.fori_loop(0, nb, body, x0)
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("nb",))
+def ptrsm_left_lower(l, b, nb=128):
+    """Solve L X = B with planar lower-triangular L (n x n), B (n x m).
+
+    Blocked forward substitution: one fori_loop over uniform diagonal
+    blocks; the off-diagonal correction uses full-width masked gemms so
+    the whole solve is a single traced instance.
+    """
+    lr, li = l
+    br, bi = b
+    n = lr.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"ptrsm requires n % nb == 0, got n={n}, nb={nb}")
+    nblocks = n // nb
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    def body(k, x):
+        xr, xi = x
+        k0 = k * nb
+        # correction: rows [k0, k0+nb) of L times the already-solved rows
+        lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, n))
+        lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, n))
+        mask = (rows < k0)[None, :]
+        lrow_r = jnp.where(mask, lrow_r, 0.0)
+        lrow_i = jnp.where(mask, lrow_i, 0.0)
+        acc_r = lrow_r @ xr - lrow_i @ xi
+        acc_i = lrow_r @ xi + lrow_i @ xr
+        rhs_r = lax.dynamic_slice(br, (k0, 0), (nb, br.shape[1])) - acc_r
+        rhs_i = lax.dynamic_slice(bi, (k0, 0), (nb, bi.shape[1])) - acc_i
+        ld_r = lax.dynamic_slice(lr, (k0, k0), (nb, nb))
+        ld_i = lax.dynamic_slice(li, (k0, k0), (nb, nb))
+        sol_r, sol_i = _fsub_base(ld_r, ld_i, rhs_r, rhs_i, nb)
+        xr = lax.dynamic_update_slice(xr, sol_r, (k0, 0))
+        xi = lax.dynamic_update_slice(xi, sol_i, (k0, 0))
+        return xr, xi
+
+    x0 = (jnp.zeros_like(br), jnp.zeros_like(bi))
+    return lax.fori_loop(0, nblocks, body, x0)
+
+
+def ptrsm_left_upper(u, b, nb=128):
+    """Solve U X = B with planar upper-triangular U via the flip identity
+    (P U P is lower triangular for the reversal permutation P)."""
+    ur, ui = u
+    br, bi = b
+    fl = lambda m: jnp.flip(m, axis=(0, 1))
+    flv = lambda m: jnp.flip(m, axis=0)
+    xr, xi = ptrsm_left_lower((fl(ur), fl(ui)), (flv(br), flv(bi)), nb=nb)
+    return flv(xr), flv(xi)
+
+
+def _pchol_base(ar, ai, nb):
+    """Unblocked planar Cholesky of an nb x nb HPD block (lower)."""
+    cols = lax.broadcasted_iota(jnp.int32, (nb, 1), 1 if False else 0).squeeze(-1)
+
+    def body(j, c):
+        cr, ci = c
+        dj = jnp.sqrt(jnp.maximum(cr[j, j], jnp.finfo(cr.dtype).tiny))
+        col_r = cr[:, j] / dj
+        col_i = ci[:, j] / dj
+        below = cols > j
+        col_r = jnp.where(below, col_r, jnp.where(cols == j, dj, 0.0))
+        col_i = jnp.where(below, col_i, 0.0)
+        # trailing update: A[:, k] -= col * conj(col[k]) for k > j
+        upd_r = col_r[:, None] * col_r[None, :] + col_i[:, None] * col_i[None, :]
+        upd_i = col_i[:, None] * col_r[None, :] - col_r[:, None] * col_i[None, :]
+        keep = (cols > j)[None, :] & below[:, None]
+        cr = jnp.where(keep, cr - upd_r, cr)
+        ci = jnp.where(keep, ci - upd_i, ci)
+        cr = lax.dynamic_update_slice(cr, col_r[:, None], (0, j))
+        ci = lax.dynamic_update_slice(ci, col_i[:, None], (0, j))
+        return cr, ci
+
+    lr, li = lax.fori_loop(0, nb, body, (ar, ai))
+    tril = (
+        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        >= lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    )
+    return jnp.where(tril, lr, 0.0), jnp.where(tril, li, 0.0)
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("nb",))
+def pcholesky_lower(b, nb=128):
+    """Planar Cholesky B = L L^H (left-looking, fixed shapes).
+
+    Returns (L, info) with info > 0 if a pivot was not positive
+    (cuSOLVER devInfo analogue, zhegvdx_gpu.F90:136-142).
+    """
+    br, bi = b
+    n = br.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"pcholesky requires n % nb == 0, got n={n}, nb={nb}")
+    nblocks = n // nb
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    def body(k, carry):
+        lr, li, bad = carry
+        k0 = k * nb
+        # panel = B[:, k-block] - L[:, :k0] @ L[k-block, :k0]^H
+        lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, n))
+        lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, n))
+        mask = (rows < k0)[None, :]
+        lrow_r = jnp.where(mask, lrow_r, 0.0)
+        lrow_i = jnp.where(mask, lrow_i, 0.0)
+        # corr = L[:, :k0] @ conj(L[k-block, :k0])^T  (masked full-width gemm)
+        lm_r = jnp.where((rows < k0)[None, :], lr, 0.0)
+        lm_i = jnp.where((rows < k0)[None, :], li, 0.0)
+        corr_r = lm_r @ lrow_r.T + lm_i @ lrow_i.T  # (n, nb)
+        corr_i = lm_i @ lrow_r.T - lm_r @ lrow_i.T
+        pan_r = lax.dynamic_slice(br, (0, k0), (n, nb)) - corr_r
+        pan_i = lax.dynamic_slice(bi, (0, k0), (n, nb)) - corr_i
+        diag_r = lax.dynamic_slice(pan_r, (k0, 0), (nb, nb))
+        diag_i = lax.dynamic_slice(pan_i, (k0, 0), (nb, nb))
+        bad = bad | (jnp.min(jnp.diagonal(diag_r)) <= 0) | jnp.any(
+            jnp.isnan(diag_r)
+        )
+        ld_r, ld_i = _pchol_base(diag_r, diag_i, nb)
+        # subdiagonal panel: X L_d^H = pan  =>  L_d conj(X^T) = conj(pan^T)
+        sub_r, sub_i = _fsub_base(
+            ld_r, ld_i, pan_r.T, -pan_i.T, nb
+        )  # solves L_d Y = conj(pan)^T; then X = conj(Y)^T
+        x_r = sub_r.T
+        x_i = -sub_i.T
+        below = (rows >= k0 + nb)[:, None]
+        blk_r = jnp.where(below, x_r, 0.0)
+        blk_i = jnp.where(below, x_i, 0.0)
+        blk_r = lax.dynamic_update_slice(blk_r, ld_r, (k0, 0))
+        blk_i = lax.dynamic_update_slice(blk_i, ld_i, (k0, 0))
+        lr = lax.dynamic_update_slice(lr, blk_r, (0, k0))
+        li = lax.dynamic_update_slice(li, blk_i, (0, k0))
+        return lr, li, bad
+
+    lr0 = jnp.zeros_like(br)
+    li0 = jnp.zeros_like(bi)
+    lr, li, bad = lax.fori_loop(0, nblocks, body, (lr0, li0, jnp.bool_(False)))
+    info = jnp.where(bad, jnp.int32(1), jnp.int32(0))
+    return (lr, li), info

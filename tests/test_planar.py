@@ -1,0 +1,65 @@
+"""Planar complex linear algebra primitives vs complex numpy/scipy."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from eigensolver_gpu_tpu.ops.planar import (
+    from_planar,
+    pcholesky_lower,
+    pmatmul,
+    ptrsm_left_lower,
+    ptrsm_left_upper,
+    to_planar,
+)
+
+
+def _rand_c(rng, *shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+def test_pmatmul():
+    rng = np.random.default_rng(0)
+    a = _rand_c(rng, 64, 48)
+    b = _rand_c(rng, 48, 32)
+    c = from_planar(pmatmul(to_planar(a), to_planar(b)))
+    np.testing.assert_allclose(c, a @ b, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,m,nb", [(128, 32, 64), (256, 256, 128)])
+def test_ptrsm_lower(n, m, nb):
+    rng = np.random.default_rng(1)
+    l = np.tril(_rand_c(rng, n, n)) + n * np.eye(n)
+    b = _rand_c(rng, n, m)
+    x = from_planar(ptrsm_left_lower(to_planar(l), to_planar(b), nb=nb))
+    x_ref = scipy.linalg.solve_triangular(l, b, lower=True)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-11, atol=1e-11)
+
+
+def test_ptrsm_upper():
+    n, m, nb = 128, 16, 64
+    rng = np.random.default_rng(2)
+    u = np.triu(_rand_c(rng, n, n)) + n * np.eye(n)
+    b = _rand_c(rng, n, m)
+    x = from_planar(ptrsm_left_upper(to_planar(u), to_planar(b), nb=nb))
+    x_ref = scipy.linalg.solve_triangular(u, b, lower=False)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("n,nb", [(128, 64), (256, 128)])
+def test_pcholesky(n, nb):
+    rng = np.random.default_rng(3)
+    t = _rand_c(rng, n, n)
+    b = t @ t.conj().T / n + np.eye(n)
+    (lr, li), info = pcholesky_lower(to_planar(b), nb=nb)
+    assert int(info) == 0
+    l = np.asarray(lr) + 1j * np.asarray(li)
+    assert np.allclose(np.tril(l), l)
+    np.testing.assert_allclose(l @ l.conj().T, b, rtol=1e-11, atol=1e-10 * n)
+
+
+def test_pcholesky_not_pd():
+    n = 128
+    b = -np.eye(n, dtype=complex)
+    _, info = pcholesky_lower(to_planar(b), nb=64)
+    assert int(info) > 0
