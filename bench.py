@@ -63,18 +63,18 @@ def main():
         a_h, b_h = random_hpd_pair(n, seed=0)
         name = f"zhegvdx_n{n}_walltime"
         # the serving TPU stack has no complex dtypes ("Element type C128
-        # is not supported"); solve the Hermitian problem through the
-        # 2n-real embedding (ops/complex_embed.py) -- same problem, same
-        # answer, fully on device.
-        from eigensolver_gpu_tpu.ops.complex_embed import zhegvdx_embedded
+        # is not supported"); solve the Hermitian problem with the planar
+        # (re,im) pipeline (models/zhegvdx_planar.py) -- native complex
+        # flop count, fully on device.
+        from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar
 
         args = tuple(
-            jnp.asarray(x)
+            jnp.asarray(np.ascontiguousarray(x))
             for x in (a_h.real, a_h.imag, b_h.real, b_h.imag)
         )
 
         def solve_checksum(ar, ai, br, bi):
-            w, zr, zi, info = zhegvdx_embedded(ar, ai, br, bi, il=1, iu=iu, cfg=cfg)
+            w, zr, zi, info = zhegvdx_planar(ar, ai, br, bi, il=1, iu=iu, cfg=cfg)
             # residual of the complex problem in planar arithmetic
             rr = ar @ zr - ai @ zi - (br @ zr - bi @ zi) * w[None, :]
             ri = ar @ zi + ai @ zr - (br @ zi + bi @ zr) * w[None, :]
