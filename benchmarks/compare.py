@@ -137,6 +137,36 @@ def main():
         results["mp"] = run_case(
             "mp", make(SolverConfig(compute_dtype="float32", refine_iters=2)),
             a, b, args.repeat)
+    if "zpl" in cases and args.dtype == "z":
+        # planar (re,im) complex pipeline -- the native on-TPU complex path
+        from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar
+
+        parts_p = tuple(jnp.asarray(np.ascontiguousarray(x)) for x in
+                        (a_h.real, a_h.imag, b_h.real, b_h.imag))
+
+        def pl_fn(ar, ai, br, bi):
+            w, zr, zi, info = zhegvdx_planar(ar, ai, br, bi, il=1, iu=iu)
+            rr = ar @ zr - ai @ zi - (br @ zr - bi @ zi) * w[None, :]
+            ri = ar @ zi + ai @ zr - (br @ zi + bi @ zr) * w[None, :]
+            anorm = jnp.max(jnp.sum(jnp.sqrt(ar * ar + ai * ai), axis=1))
+            res = jnp.max(jnp.sqrt(jnp.sum(rr * rr + ri * ri, axis=0))) / (n * anorm)
+            return jnp.sum(w), res, info
+
+        fpl = jax.jit(pl_fn)
+        t0 = wallclock()
+        out = fpl(*parts_p)
+        wsum = float(np.asarray(out[0]))
+        resv = float(np.asarray(out[1]))
+        t_first = wallclock() - t0
+        times = []
+        for _ in range(args.repeat):
+            t0 = wallclock()
+            np.asarray(fpl(*parts_p)[0])
+            times.append(wallclock() - t0)
+        best = min(times) * 1e3
+        print(f"  {'zpl':8s}: {best:10.1f} ms   residual {resv:9.3e}   "
+              f"(first incl. compile {t_first:.1f}s, wsum {wsum:+.6e})", flush=True)
+        results["zpl"] = (best, resv)
     if "zemb" in cases and args.dtype == "z":
         # complex via the 2n-real embedding (the on-TPU complex path)
         from eigensolver_gpu_tpu.ops.complex_embed import zhegvdx_embedded

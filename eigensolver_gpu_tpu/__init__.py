@@ -24,6 +24,10 @@ from eigensolver_gpu_tpu.models.sygvdx import (
     SygvdxResult,
 )
 from eigensolver_gpu_tpu.models.syevdx import syevdx
+from eigensolver_gpu_tpu.models.zhegvdx_planar import (
+    zhegvdx_planar,
+    zhegvdx_planar_host,
+)
 from eigensolver_gpu_tpu.utils.config import SolverConfig
 
 __version__ = "0.1.0"
@@ -33,6 +37,8 @@ __all__ = [
     "zhegvdx",
     "sygvdx",
     "syevdx",
+    "zhegvdx_planar",
+    "zhegvdx_planar_host",
     "SygvdxResult",
     "SolverConfig",
 ]
