@@ -111,3 +111,12 @@ def zhegvdx_planar_host(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG)
         iu=iu,
         cfg=cfg,
     )
+
+
+def zhegvdx_planar_batched(
+    ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG
+):
+    """vmap over a leading batch axis (QE k-point batches, BASELINE.md
+    config 4, at native complex flop count)."""
+    fn = functools.partial(zhegvdx_planar, il=il, iu=iu, cfg=cfg)
+    return jax.vmap(fn)(ar, ai, br, bi)

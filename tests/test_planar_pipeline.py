@@ -77,3 +77,23 @@ def test_zhegvdx_planar_qe():
     w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
     assert np.allclose(np.asarray(w), w_ref[:24], atol=1e-9 * n)
     assert ge_residual(a, b, np.asarray(w), z) < 1e-11
+
+
+def test_zhegvdx_planar_batched():
+    from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar_batched
+
+    batch, n, iu = 3, 64, 8
+    a = np.empty((batch, n, n), complex)
+    b = np.empty((batch, n, n), complex)
+    for k in range(batch):
+        a[k], b[k] = random_hpd_pair(n, seed=95 + k)
+    w, zr, zi, info = zhegvdx_planar_batched(
+        np.ascontiguousarray(a.real), np.ascontiguousarray(a.imag),
+        np.ascontiguousarray(b.real), np.ascontiguousarray(b.imag),
+        il=1, iu=iu,
+    )
+    for k in range(batch):
+        z = np.asarray(zr)[k] + 1j * np.asarray(zi)[k]
+        w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
+        assert np.allclose(np.asarray(w)[k], w_ref[:iu], atol=1e-10 * n)
+        assert ge_residual(a[k], b[k], np.asarray(w)[k], z) < 1e-12
