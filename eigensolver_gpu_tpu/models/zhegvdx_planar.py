@@ -69,6 +69,34 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         iu = n
     nb_chol = min(128, n)
 
+    mixed = cfg.compute_dtype == "float32" and ar.dtype == jnp.float64
+    if mixed:
+        # fp32 full-spectrum pipeline + fp64 generalized Ogita-Aishima
+        # refinement (ops/refine_planar.py) -- the planar analogue of the
+        # real mixed path in models/syevdx.py.
+        from eigensolver_gpu_tpu.ops.refine_planar import refine_gevp_planar
+
+        f32 = lambda v: v.astype(jnp.float32)
+        w32, zr32, zi32, info = zhegvdx_planar(
+            f32(ar), f32(ai), f32(br), f32(bi), il=1, iu=n,
+            cfg=SolverConfig(
+                nb_tridiag=cfg.nb_tridiag, nb_back=cfg.nb_back,
+                stedc_leaf=cfg.stedc_leaf,
+            ),
+        )
+        x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))
+        w, (zr, zi) = refine_gevp_planar(
+            (ar, ai), (br, bi), x64, sweeps=cfg.refine_iters
+        )
+        order = jnp.argsort(w)
+        w = w[order]
+        zr = zr[:, order]
+        zi = zi[:, order]
+        return PlanarResult(
+            w=w[il - 1 : iu], zr=zr[:, il - 1 : iu], zi=zi[:, il - 1 : iu],
+            info=info,
+        )
+
     with trace_range("zhegvdx_planar"):
         l, info = pcholesky_lower((br, bi), nb=nb_chol)  # PHASE 1
         # PHASE 2: C = L^{-1} A L^{-H} = L^{-1} (L^{-1} A^H)^H

@@ -1,0 +1,78 @@
+"""Planar mixed-precision refinement for the GENERALIZED eigenproblem.
+
+Extends ops/refine.py (standard problem) to ``A x = lambda B x`` in
+planar complex arithmetic: with R = I - X^H B X and S = X^H A X, the
+first-order corrections are the same Ogita-Aishima formulas
+
+    E_ii = R_ii / 2
+    E_ij = (S_ij + lambda_j R_ij) / (lambda_j - lambda_i)   (separated)
+    E_ij = R_ij / 2                                          (clustered)
+    X <- X + X E
+
+(derivation: impose X'^H B X' = I and X'^H A X' diagonal to first
+order; the B-gram replaces the identity gram). This lets the ENTIRE
+fp32 planar pipeline -- Cholesky, triangular solves, hetrd, stedc,
+back-transform -- be refined in one step against the fp64 A and B,
+with only a handful of fp64 planar gemms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from eigensolver_gpu_tpu.ops.planar import pmatmul, pH
+from eigensolver_gpu_tpu.utils.precision import highest_precision
+from eigensolver_gpu_tpu.utils.tracing import trace_range
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def refine_gevp_planar(a, b, x, sweeps=2):
+    """Refine planar eigenvectors ``x`` of the pair (a, b); returns (w, x).
+
+    a, b, x: planar pairs; x is (n, m). Needs m == n (full spectrum) for
+    quadratic convergence to fp64 residuals; a column subset is refined
+    only within its span.
+    """
+    ar, ai = a
+    xr, xi = x
+    m = xr.shape[1]
+    eye = jnp.eye(m, dtype=ar.dtype)
+    eps32 = jnp.finfo(jnp.float32).eps
+
+    with trace_range("refine_gevp_planar"):
+        w = None
+        for _ in range(sweeps):
+            x = (xr, xi)
+            bx = pmatmul(b, x)
+            ax = pmatmul(a, x)
+            xhbx = pmatmul(pH(x), bx)
+            s = pmatmul(pH(x), ax)
+            r = (eye - xhbx[0], -xhbx[1])
+            lam = jnp.diagonal(s[0]) / (1.0 - jnp.diagonal(r[0]))
+            denom = lam[None, :] - lam[:, None]
+            anorm = jnp.max(jnp.abs(lam))
+            sep = jnp.maximum(1e3 * jnp.finfo(ar.dtype).eps * anorm, eps32 * anorm)
+            ok = jnp.abs(denom) > sep
+            safe = jnp.where(ok, denom, 1.0)
+            e_sep_r = (s[0] + lam[None, :] * r[0]) / safe
+            e_sep_i = (s[1] + lam[None, :] * r[1]) / safe
+            e_r = jnp.where(ok, e_sep_r, r[0] / 2)
+            e_i = jnp.where(ok, e_sep_i, r[1] / 2)
+            dx = pmatmul(x, (e_r, e_i))
+            xr = xr + dx[0]
+            xi = xi + dx[1]
+            w = lam
+        # final Rayleigh quotients and B-normalization
+        x = (xr, xi)
+        bx = pmatmul(b, x)
+        ax = pmatmul(a, x)
+        bnorm = jnp.sum(xr * bx[0] + xi * bx[1], axis=0)
+        anum = jnp.sum(xr * ax[0] + xi * ax[1], axis=0)
+        safe_b = jnp.where(bnorm == 0, 1.0, bnorm)
+        w = anum / safe_b
+        scale = 1.0 / jnp.sqrt(jnp.maximum(bnorm, jnp.finfo(ar.dtype).tiny))
+        return w, (xr * scale[None, :], xi * scale[None, :])

@@ -97,3 +97,17 @@ def test_zhegvdx_planar_batched():
         w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
         assert np.allclose(np.asarray(w)[k], w_ref[:iu], atol=1e-10 * n)
         assert ge_residual(a[k], b[k], np.asarray(w)[k], z) < 1e-12
+
+
+def test_zhegvdx_planar_mixed_precision():
+    n = 128
+    a, b = random_hpd_pair(n, seed=96)
+    cfg = SolverConfig(compute_dtype="float32", refine_iters=2)
+    w, zr, zi, info = zhegvdx_planar_host(a, b, il=1, iu=32, cfg=cfg)
+    assert int(info) == 0
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    w = np.asarray(w)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(w, w_ref[:32], atol=1e-9 * n)
+    assert ge_residual(a, b, w, z) < 1e-12
+    assert orthonormality_error(z, b) < 1e-9 * n
