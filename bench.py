@@ -55,9 +55,17 @@ def log(*args):
 def main():
     n = int(os.environ.get("EIGSOLVE_BENCH_N", "4096"))
     dtype = os.environ.get("EIGSOLVE_BENCH_DTYPE", "complex128")
+    mode = os.environ.get("EIGSOLVE_BENCH_MODE", "mp")
     iu = max(n // 4, 1)
-    cfg = SolverConfig()
-    log(f"bench: n={n} dtype={dtype} il=1 iu={iu} devices={jax.devices()}")
+    # default: the fp32-factorization + fp64-refinement path -- measured
+    # faster than everything else on the target chip with residuals ~1e-18
+    # normalized (see benchmarks/compare.py runs); 'dc' = full fp64 D&C.
+    cfg = (
+        SolverConfig(compute_dtype="float32", refine_iters=2)
+        if mode == "mp"
+        else SolverConfig()
+    )
+    log(f"bench: n={n} dtype={dtype} mode={mode} il=1 iu={iu} devices={jax.devices()}")
 
     if dtype == "complex128":
         a_h, b_h = random_hpd_pair(n, seed=0)
