@@ -22,7 +22,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from eigensolver_gpu_tpu.ops.planar import (
     pcholesky_lower,
