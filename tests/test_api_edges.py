@@ -1,0 +1,64 @@
+"""Public-API edge cases: single-precision input, single-pair selection,
+full range, Fortran-ordered inputs, tiny matrices."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from eigensolver_gpu_tpu import SolverConfig, dsygvdx, syevdx
+from eigensolver_gpu_tpu.utils.testing import random_spd_pair
+
+CFG_SMALL = SolverConfig(stedc_leaf=16)
+
+
+def test_float32_end_to_end():
+    n = 64
+    a, b = random_spd_pair(n, seed=100, dtype=np.float32)
+    w, z, info = dsygvdx(a, b, il=1, iu=8, cfg=CFG_SMALL)
+    assert np.asarray(w).dtype == np.float32
+    w_ref = scipy.linalg.eigh(a.astype(np.float64), b.astype(np.float64),
+                              eigvals_only=True)
+    assert np.allclose(np.asarray(w), w_ref[:8], atol=2e-3)
+
+
+def test_single_pair():
+    n = 64
+    a, b = random_spd_pair(n, seed=101)
+    w, z, info = dsygvdx(a, b, il=5, iu=5, cfg=CFG_SMALL)
+    assert np.asarray(w).shape == (1,)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert abs(float(np.asarray(w)[0]) - w_ref[4]) < 1e-11 * n
+
+
+def test_full_range():
+    n = 48
+    a, b = random_spd_pair(n, seed=102)
+    w, z, info = dsygvdx(a, b, cfg=CFG_SMALL)  # il/iu defaults = all
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(np.asarray(w), w_ref, atol=1e-11 * n)
+
+
+def test_fortran_order_input():
+    n = 64
+    a, b = random_spd_pair(n, seed=103)
+    a = np.asfortranarray(a)
+    b = np.asfortranarray(b)
+    w, z, info = dsygvdx(a, b, il=1, iu=4, cfg=CFG_SMALL)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(np.asarray(w), w_ref[:4], atol=1e-11 * n)
+
+
+@pytest.mark.parametrize("n", [2, 3, 8])
+def test_tiny_matrices(n):
+    a, b = random_spd_pair(n, seed=104)
+    w, z, info = dsygvdx(a, b, cfg=SolverConfig(stedc_leaf=4))
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(np.asarray(w), w_ref, atol=1e-12 * max(n, 4))
+
+
+def test_syevdx_top_of_spectrum():
+    n = 64
+    a, _ = random_spd_pair(n, seed=105)
+    w, z = syevdx(a, il=n - 3, iu=n, cfg=CFG_SMALL)
+    w_ref = np.linalg.eigvalsh(a)
+    assert np.allclose(np.asarray(w), w_ref[-4:], atol=1e-11 * n)
