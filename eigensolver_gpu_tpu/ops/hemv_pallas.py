@@ -8,14 +8,16 @@ real and imaginary parts separately (:40-41, :189-191).
 TPU re-design: the target TPU stack has no complex dtypes at all, so the
 kernel is *planar by construction*: A = Ar + i Ai arrives as two real
 arrays (Ar symmetric, Ai antisymmetric, both full-stored), v as an
-(n, 2) [vr, vi] pair. Each upper tile (bi <= bj) contributes
+(n, 2) [vr, vi] pair. The upper tile set is enumerated by the same
+rectangular reflection grid as ops/symv_pallas.py. Each tile (bi <= bj)
+contributes
 
     y[bi] += Ar_t v2[bj] + Ai_t (v2[bj] @ ROT)      ROT = [[0,1],[-1,0]]
-    y[bj] += Ar_t^T v2[bi] - Ai_t^T (v2[bi] @ ROT)  (mirror: Ar sym, Ai antisym)
+    y[bj] += Ar_t^T v2[bi] - Ai_t^T (v2[bi] @ ROT)  (Ar sym, Ai antisym)
 
--- all MXU work, sequential-grid accumulation, no atomics, 2x less HBM
-traffic than a dense planar matvec. Serves the embedded-complex path
-and the future planar hetrd.
+-- all MXU work, sequential-grid accumulation, no atomics, ~2x less HBM
+traffic than a dense planar matvec. Serves the planar hetrd
+(ops/sytrd_planar.py) hot loop.
 """
 
 from __future__ import annotations
@@ -27,73 +29,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from eigensolver_gpu_tpu.ops.symv_pallas import _upper_tile_coords
+from eigensolver_gpu_tpu.ops.symv_pallas import _tri_coords
 
 
-def _hemv_kernel(bi_ref, bj_ref, ar_ref, ai_ref, v_ref, y_ref):
-    t = pl.program_id(0)
-    bi = bi_ref[t]
-    bj = bj_ref[t]
+def _rot(v2):
+    return jnp.concatenate([-v2[:, 1:2], v2[:, 0:1]], axis=1)
 
-    @pl.when(t == 0)
+
+def _hemv_kernel(ar_ref, ai_ref, v_ref, y_ref):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    nblk = 2 * pl.num_programs(0)
+
+    @pl.when((r == 0) & (c == 0))
     def _():
         y_ref[:, :] = jnp.zeros_like(y_ref)
 
+    bi, bj = _tri_coords(r, c, nblk)
     ar = ar_ref[:, :]
     ai = ai_ref[:, :]
     tsz = ar.shape[0]
-    vj = v_ref[pl.ds(bj * tsz, tsz), :]  # (T, 2) = [vr, vi]
-    vj_rot = jnp.concatenate([-vj[:, 1:2], vj[:, 0:1]], axis=1)  # (-vi, vr)
-    contrib = jnp.dot(ar, vj, preferred_element_type=ar.dtype) + jnp.dot(
-        ai, vj_rot, preferred_element_type=ar.dtype
-    )
-    y_ref[pl.ds(bi * tsz, tsz), :] += contrib
+    vj = v_ref[pl.ds(bj * tsz, tsz), :]
+    y_ref[pl.ds(bi * tsz, tsz), :] += jnp.dot(
+        ar, vj, preferred_element_type=ar.dtype
+    ) + jnp.dot(ai, _rot(vj), preferred_element_type=ar.dtype)
 
     @pl.when(bi != bj)
     def _():
         vi_ = v_ref[pl.ds(bi * tsz, tsz), :]
-        vi_rot = jnp.concatenate([-vi_[:, 1:2], vi_[:, 0:1]], axis=1)
-        mirror = jnp.dot(ar.T, vi_, preferred_element_type=ar.dtype) - jnp.dot(
-            ai.T, vi_rot, preferred_element_type=ar.dtype
-        )
-        y_ref[pl.ds(bj * tsz, tsz), :] += mirror
+        y_ref[pl.ds(bj * tsz, tsz), :] += jnp.dot(
+            ar.T, vi_, preferred_element_type=ar.dtype
+        ) - jnp.dot(ai.T, _rot(vi_), preferred_element_type=ar.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def hemv_planar(ar, ai, vr, vi, tile=256, interpret=False):
     """y = (Ar + i Ai)(vr + i vi) as planar real arrays -> (yr, yi)."""
     n = ar.shape[0]
-    if n % tile != 0:
-        raise ValueError(f"hemv requires n % tile == 0, got n={n}, tile={tile}")
+    if n % tile != 0 or (n // tile) % 2 != 0:
+        raise ValueError(
+            f"hemv requires n divisible by 2*tile, got n={n}, tile={tile}"
+        )
     nblk = n // tile
-    bi, bj = _upper_tile_coords(nblk)
-    ntiles = int(bi.shape[0])
     v2 = jnp.stack([vr, vi], axis=1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ntiles,),
+    tile_spec = lambda: pl.BlockSpec(
+        (tile, tile),
+        index_map=lambda r, c: _tri_coords(r, c, nblk),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pl.GridSpec(
+        grid=(nblk // 2, nblk + 1),
         in_specs=[
+            tile_spec(),
+            tile_spec(),
             pl.BlockSpec(
-                (tile, tile),
-                index_map=lambda t, bi, bj: (bi[t], bj[t]),
-                memory_space=pltpu.VMEM,
+                (n, 2), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (tile, tile),
-                index_map=lambda t, bi, bj: (bi[t], bj[t]),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (n, 2), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+        ),
     )
     out = pl.pallas_call(
         _hemv_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 2), ar.dtype),
         interpret=interpret,
-    )(bi, bj, ar, ai, v2)
+    )(ar, ai, v2)
     return out[:, 0], out[:, 1]
 
 

@@ -8,22 +8,23 @@ mirror the diagonal block through shared memory, reduce with warp
 shuffles, and combine partial results with atomicAdd -- because a CUDA
 grid has no ordering.
 
-TPU re-design: the grid iterates over the T(T+1)/2 upper tiles via
-scalar-prefetched (bi, bj) coordinate lists; each off-diagonal tile
-contributes both A[bi,bj] @ v[bj] to y[bi] and A[bi,bj]^T @ v[bi] to
-y[bj]. The whole y vector lives in VMEM across grid steps, and because a
-Pallas TPU grid executes *sequentially*, the accumulation needs no
-atomics at all -- strictly stronger ordering than the reference's
-atomicAdd scheme (and bitwise deterministic, fixing the reference's
+TPU re-design: the upper triangle of an N x N tile grid (N even) is
+enumerated by an (N/2, N+1) *rectangular* grid through the classic
+row-pairing reflection -- row r is fused with its mirror row N-1-r, so
+each rectangle cell maps to exactly one upper tile with pure integer
+index arithmetic (no scalar prefetch: the Mosaic lowering of prefetched
+index maps is not supported on the target toolchain). Each off-diagonal
+tile contributes both A[bi,bj] @ v[bj] to y[bi] and A[bi,bj]^T @ v[bi]
+to y[bj]; y lives in VMEM across the sequentially-executed grid, so the
+accumulation needs no atomics -- strictly stronger ordering than the
+reference's atomicAdd scheme (and bitwise deterministic, fixing the
 nondeterminism noted in SURVEY.md §5.2).
 
-HBM traffic: (n^2/2 + n T) elements vs n^2 for a dense gemv -- the same
-2x the reference's kernels exist for.
-
-Requires full (mirrored) symmetric storage -- which ops/sytrd.py
-maintains -- so the diagonal tiles need no on-the-fly mirroring.
-Real dtypes only (complex falls back to jnp matvec; hemv kernel is on
-the roadmap).
+HBM traffic: ~n^2/2 elements vs n^2 for a dense gemv -- the same 2x the
+reference's kernels exist for. Requires full (mirrored) symmetric
+storage -- which ops/sytrd.py maintains -- so diagonal tiles need no
+on-the-fly mirroring. Real dtypes; the planar complex twin is
+ops/hemv_pallas.py.
 """
 
 from __future__ import annotations
@@ -32,67 +33,79 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _upper_tile_coords(nblk):
-    bi, bj = np.triu_indices(nblk)
-    return jnp.asarray(bi, jnp.int32), jnp.asarray(bj, jnp.int32)
+def _tri_coords(r, c, nblk):
+    """Reflection map: rectangle (r, c) -> upper tile (bi, bj), bi <= bj.
+
+    Row r (tiles (r, r..N-1), count N-r) is fused with mirror row N-1-r
+    (count r+1); together they fill a length-(N+1) rectangle row.
+    """
+    direct = c < nblk - r
+    bi = jnp.where(direct, r, nblk - 1 - r)
+    bj = jnp.where(direct, r + c, (nblk - 1 - r) + (c - (nblk - r)))
+    return bi, bj
 
 
-def _symv_kernel(bi_ref, bj_ref, a_ref, v_ref, y_ref):
-    t = pl.program_id(0)
-    bi = bi_ref[t]
-    bj = bj_ref[t]
+def _symv_kernel(a_ref, v_ref, y_ref):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    nblk = 2 * pl.num_programs(0)
 
-    @pl.when(t == 0)
+    @pl.when((r == 0) & (c == 0))
     def _():
         y_ref[:, :] = jnp.zeros_like(y_ref)
 
-    tile = a_ref[:, :]  # (T, T) upper tile (bi, bj)
+    bi, bj = _tri_coords(r, c, nblk)
+    tile = a_ref[:, :]
     tsz = tile.shape[0]
     vj = v_ref[pl.ds(bj * tsz, tsz), :]
-    contrib_i = jnp.dot(tile, vj, preferred_element_type=tile.dtype)
-    y_ref[pl.ds(bi * tsz, tsz), :] += contrib_i
+    y_ref[pl.ds(bi * tsz, tsz), :] += jnp.dot(
+        tile, vj, preferred_element_type=tile.dtype
+    )
 
     @pl.when(bi != bj)
     def _():
         vi = v_ref[pl.ds(bi * tsz, tsz), :]
-        contrib_j = jnp.dot(tile.T, vi, preferred_element_type=tile.dtype)
-        y_ref[pl.ds(bj * tsz, tsz), :] += contrib_j
+        y_ref[pl.ds(bj * tsz, tsz), :] += jnp.dot(
+            tile.T, vi, preferred_element_type=tile.dtype
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def symv(a, v, tile=256, interpret=False):
     """y = A @ v for symmetric full-stored A, reading only upper tiles."""
     n = a.shape[0]
-    if n % tile != 0:
-        raise ValueError(f"symv requires n % tile == 0, got n={n}, tile={tile}")
+    if n % tile != 0 or (n // tile) % 2 != 0:
+        raise ValueError(
+            f"symv requires n divisible by 2*tile, got n={n}, tile={tile}"
+        )
     nblk = n // tile
-    bi, bj = _upper_tile_coords(nblk)
-    ntiles = int(bi.shape[0])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ntiles,),
+    grid_spec = pl.GridSpec(
+        grid=(nblk // 2, nblk + 1),
         in_specs=[
             pl.BlockSpec(
                 (tile, tile),
-                index_map=lambda t, bi, bj: (bi[t], bj[t]),
+                index_map=lambda r, c: _tri_coords(r, c, nblk),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole v
+            pl.BlockSpec(
+                (n, 1), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # whole y
+        out_specs=pl.BlockSpec(
+            (n, 1), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+        ),
     )
     out = pl.pallas_call(
         _symv_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 1), a.dtype),
         interpret=interpret,
-    )(bi, bj, a, v.reshape(n, 1))
+    )(a, v.reshape(n, 1))
     return out[:, 0]
 
 

@@ -200,7 +200,7 @@ def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
             npanels = (mb - lo) // nb
             a_mb = a[:mb, :mb]
             rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
-            pallas_ok = use_pallas and not iscomplex and mb % 256 == 0
+            pallas_ok = use_pallas and not iscomplex and mb % 512 == 0
 
             def panel_step(p, carry, mb=mb, rows=rows, pallas_ok=pallas_ok):
                 a_mb, d, e, tau = carry
