@@ -42,11 +42,17 @@ def _tri_coords(r, c, nblk):
 
     Row r (tiles (r, r..N-1), count N-r) is fused with mirror row N-1-r
     (count r+1); together they fill a length-(N+1) rectangle row.
+    All arithmetic pinned to int32: under jax_enable_x64 the default
+    promotion yields i64 index maps, which Mosaic cannot legalize.
     """
-    direct = c < nblk - r
-    bi = jnp.where(direct, r, nblk - 1 - r)
-    bj = jnp.where(direct, r + c, (nblk - 1 - r) + (c - (nblk - r)))
-    return bi, bj
+    r = jnp.asarray(r, jnp.int32)
+    c = jnp.asarray(c, jnp.int32)
+    n = jnp.int32(nblk)
+    one = jnp.int32(1)
+    direct = c < n - r
+    bi = jnp.where(direct, r, n - one - r)
+    bj = jnp.where(direct, r + c, (n - one - r) + (c - (n - r)))
+    return bi.astype(jnp.int32), bj.astype(jnp.int32)
 
 
 def _symv_kernel(a_ref, v_ref, y_ref):
