@@ -84,11 +84,13 @@ def hemv_planar(ar, ai, vr, vi, tile=256, interpret=False):
             tile_spec(),
             tile_spec(),
             pl.BlockSpec(
-                (n, 2), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+                (n, 2), index_map=lambda r, c: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n, 2), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+            (n, 2), index_map=lambda r, c: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(

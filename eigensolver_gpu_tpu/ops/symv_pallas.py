@@ -99,11 +99,13 @@ def symv(a, v, tile=256, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (n, 1), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+                (n, 1), index_map=lambda r, c: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n, 1), index_map=lambda r, c: (0, 0), memory_space=pltpu.VMEM
+            (n, 1), index_map=lambda r, c: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
