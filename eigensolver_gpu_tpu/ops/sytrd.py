@@ -200,7 +200,15 @@ def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
             npanels = (mb - lo) // nb
             a_mb = a[:mb, :mb]
             rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
-            pallas_ok = use_pallas and not iscomplex and mb % 512 == 0
+            # the Mosaic toolchain has no fp64 in-kernel dot
+            # (NotImplementedError: float64), so the Pallas symv serves
+            # the fp32 factorization path only
+            pallas_ok = (
+                use_pallas
+                and not iscomplex
+                and dtype == jnp.float32
+                and mb % 512 == 0
+            )
 
             def panel_step(p, carry, mb=mb, rows=rows, pallas_ok=pallas_ok):
                 a_mb, d, e, tau = carry
