@@ -43,6 +43,7 @@ def main():
     ap.add_argument("n", type=int, nargs="?", default=1024)
     ap.add_argument("--iu", type=int, default=None)
     ap.add_argument("--mode", default="mp")
+    ap.add_argument("--chunk", type=int, default=8)
     args = ap.parse_args()
     batch, n = args.batch, args.n
     iu = args.iu or max(n // 8, 1)
@@ -64,7 +65,8 @@ def main():
     bi = np.broadcast_to(b0.imag, (batch, n, n)).copy()
 
     def fn(ar, ai, br, bi):
-        w, zr, zi, info = zhegvdx_planar_batched(ar, ai, br, bi, il=1, iu=iu, cfg=cfg)
+        w, zr, zi, info = zhegvdx_planar_batched(
+            ar, ai, br, bi, il=1, iu=iu, cfg=cfg, chunk=args.chunk)
         return jnp.sum(w), jnp.max(info)
 
     f = jax.jit(fn)

@@ -42,15 +42,29 @@ class SygvdxResult(NamedTuple):
     info: jax.Array  # int32: 0 ok, >0 B not positive definite
 
 
+def _from_upper(a):
+    """Rebuild the symmetric/Hermitian matrix from its upper triangle --
+    the reference's UPLO='U' contract (zhegvdx_gpu.F90:58: only A's upper
+    triangle is read; the lower may hold anything)."""
+    up = jnp.triu(a, 1)
+    diag = jnp.real(jnp.diagonal(a)).astype(a.dtype)
+    return up + jnp.conj(up).T + jnp.diag(diag)
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
 def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
-    """Solve A x = lambda B x for eigenpairs il..iu (1-based, ascending)."""
+    """Solve A x = lambda B x for eigenpairs il..iu (1-based, ascending).
+
+    Only the upper triangles of A and B are read (LAPACK UPLO='U'
+    semantics, matching the reference's contract)."""
     n = a.shape[0]
     if a.shape != (n, n) or b.shape != (n, n):
         raise ValueError(f"A and B must be square and equal shape, got {a.shape}, {b.shape}")
     if iu is None:
         iu = n
+    a = _from_upper(a)
+    b = _from_upper(b)
 
     with trace_range("sygvdx"):
         u, info = cholesky_upper(b)  # PHASE 1 (zhegvdx_gpu.F90:135)

@@ -141,9 +141,26 @@ def zhegvdx_planar_host(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG)
 
 
 def zhegvdx_planar_batched(
-    ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG
+    ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG, chunk=None
 ):
     """vmap over a leading batch axis (QE k-point batches, BASELINE.md
-    config 4, at native complex flop count)."""
+    config 4, at native complex flop count).
+
+    ``chunk``: process the batch in sequential chunks of this size
+    (lax.map over vmap). Needed for large batches at large n: the
+    platform's emulated fp64 dot materializes an 8-slice fp32 expansion
+    of each operand, so a 64 x 1024 batch of refinement gemms wants
+    ~46 GB all-at-once but fits comfortably chunked.
+    """
     fn = functools.partial(zhegvdx_planar, il=il, iu=iu, cfg=cfg)
-    return jax.vmap(fn)(ar, ai, br, bi)
+    batch = ar.shape[0]
+    if chunk is None or chunk >= batch:
+        return jax.vmap(fn)(ar, ai, br, bi)
+    if batch % chunk != 0:
+        raise ValueError(f"batch {batch} not divisible by chunk {chunk}")
+    resh = lambda x: x.reshape((batch // chunk, chunk) + x.shape[1:])
+    out = jax.lax.map(
+        lambda t: jax.vmap(fn)(*t), (resh(ar), resh(ai), resh(br), resh(bi))
+    )
+    flat = lambda x: x.reshape((batch,) + x.shape[2:])
+    return PlanarResult(*(flat(x) for x in out))

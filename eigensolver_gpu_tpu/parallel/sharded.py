@@ -33,37 +33,36 @@ from eigensolver_gpu_tpu.models.syevdx import syevdx
 from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "il", "iu", "cfg"))
+def _sharded_step(a, b, mesh, il, iu, cfg):
+    repl = NamedSharding(mesh, P())
+    u, info = cholesky_upper(b)
+    # two-sided triangular solve with sharded operands; XLA partitions
+    # the blocked solves and inserts ICI collectives
+    x = lax.linalg.triangular_solve(
+        u, a, left_side=True, lower=False, transpose_a=True, conjugate_a=True
+    )
+    c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
+    c = (c + jnp.conj(c.T)) / 2
+    # standard solve on the (currently replicated) standard matrix
+    c = lax.with_sharding_constraint(c, repl)
+    w, y = syevdx(c, il=il, iu=iu, cfg=cfg)
+    y = lax.with_sharding_constraint(y, NamedSharding(mesh, P("tp", None)))
+    z = lax.linalg.triangular_solve(
+        u, y, left_side=True, lower=False, transpose_a=False
+    )
+    return SygvdxResult(w=w, z=z, info=info)
+
+
 def sygvdx_sharded(a, b, mesh, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     """Tensor-parallel generalized solve: rows of A/B/Z sharded over 'tp'."""
     n = a.shape[0]
     if iu is None:
         iu = n
     row_sharded = NamedSharding(mesh, P("tp", None))
-    repl = NamedSharding(mesh, P())
-
     a = jax.device_put(a, row_sharded)
     b = jax.device_put(b, row_sharded)
-
-    @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
-    def step(a, b, il, iu, cfg):
-        u, info = cholesky_upper(b)
-        # two-sided triangular solve with sharded operands; XLA partitions
-        # the blocked solves and inserts ICI collectives
-        x = lax.linalg.triangular_solve(
-            u, a, left_side=True, lower=False, transpose_a=True, conjugate_a=True
-        )
-        c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
-        c = (c + jnp.conj(c.T)) / 2
-        # standard solve on the (currently replicated) standard matrix
-        c = lax.with_sharding_constraint(c, repl)
-        w, y = syevdx(c, il=il, iu=iu, cfg=cfg)
-        y = lax.with_sharding_constraint(y, NamedSharding(mesh, P("tp", None)))
-        z = lax.linalg.triangular_solve(
-            u, y, left_side=True, lower=False, transpose_a=False
-        )
-        return SygvdxResult(w=w, z=z, info=info)
-
-    return step(a, b, il, iu, cfg)
+    return _sharded_step(a, b, mesh, il, iu, cfg)
 
 
 def sygvdx_batched(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
@@ -86,10 +85,10 @@ def sygvdx_batched_sharded(
     batch_sharded = NamedSharding(mesh, P(("dp", "tp"), None, None))
     a = jax.device_put(a, batch_sharded)
     b = jax.device_put(b, batch_sharded)
+    return _batched_step(a, b, il, iu, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
+def _batched_step(a, b, il, iu, cfg):
     fn = functools.partial(sygvdx, il=il, iu=iu, cfg=cfg)
-
-    @jax.jit
-    def step(a, b):
-        return jax.vmap(fn)(a, b)
-
-    return step(a, b)
+    return jax.vmap(fn)(a, b)

@@ -111,3 +111,22 @@ def test_zhegvdx_planar_mixed_precision():
     assert np.allclose(w, w_ref[:32], atol=1e-9 * n)
     assert ge_residual(a, b, w, z) < 1e-12
     assert orthonormality_error(z, b) < 1e-9 * n
+
+
+def test_zhegvdx_planar_batched_chunked():
+    from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar_batched
+
+    batch, n, iu = 4, 32, 4
+    a = np.empty((batch, n, n), complex)
+    b = np.empty((batch, n, n), complex)
+    for k in range(batch):
+        a[k], b[k] = random_hpd_pair(n, seed=97 + k)
+    w, zr, zi, info = zhegvdx_planar_batched(
+        np.ascontiguousarray(a.real), np.ascontiguousarray(a.imag),
+        np.ascontiguousarray(b.real), np.ascontiguousarray(b.imag),
+        il=1, iu=iu, chunk=2,
+    )
+    for k in range(batch):
+        z = np.asarray(zr)[k] + 1j * np.asarray(zi)[k]
+        w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
+        assert np.allclose(np.asarray(w)[k], w_ref[:iu], atol=1e-10 * n)
