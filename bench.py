@@ -59,8 +59,11 @@ def main():
     # default: the fp32-factorization + fp64-refinement path -- measured
     # faster than everything else on the target chip with residuals ~1e-18
     # normalized (see benchmarks/compare.py runs); 'dc' = full fp64 D&C.
+    # 3 refinement sweeps = 2 coarse (fp32) + 1 full (fp64): the fp32
+    # sweeps are nearly free and the single fp64 sweep halves what used
+    # to be 70% of the wall time (benchmarks/stages_planar.py).
     cfg = (
-        SolverConfig(compute_dtype="float32", refine_iters=2)
+        SolverConfig(compute_dtype="float32", refine_iters=3)
         if mode == "mp"
         else SolverConfig()
     )

@@ -34,35 +34,53 @@ from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
+def _sweep_eigh(a, x, eye, dt):
+    eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
+    r = eye - jnp.conj(x.T) @ x
+    s = jnp.conj(x.T) @ (a @ x)
+    lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
+        jnp.zeros((), dt).real.dtype
+    )
+    denom = lam[None, :] - lam[:, None]
+    anorm = jnp.max(jnp.abs(lam))
+    # separation threshold: below it, pairs are treated as a
+    # cluster and only orthogonality is corrected
+    sep = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
+    safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
+    e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
+    e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
+    return x + x @ e
+
+
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("sweeps",))
-def refine_eigh(a, x, sweeps=2):
+@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first"))
+def refine_eigh(a, x, sweeps=2, coarse_first=True):
     """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of
-    dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype."""
-    n = a.shape[0]
+    dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype.
+
+    coarse_first: all but the last sweep run in the 32-bit dtype -- the
+    early corrections only need a couple of digits, and the platform's
+    emulated fp64 gemms dominate wall time (see ops/refine_planar.py).
+    """
     dt = a.dtype
     x = x.astype(dt)
     eye = jnp.eye(x.shape[1], dtype=dt)
-    eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
+    is64 = jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64
 
     with trace_range("refine_eigh"):
-        w = None
-        for _ in range(sweeps):
-            r = eye - jnp.conj(x.T) @ x
-            s = jnp.conj(x.T) @ (a @ x)
-            lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
-                jnp.zeros((), dt).real.dtype
-            )
-            denom = lam[None, :] - lam[:, None]
-            anorm = jnp.max(jnp.abs(lam))
-            # separation threshold: below it, pairs are treated as a
-            # cluster and only orthogonality is corrected
-            sep = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
-            safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
-            e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
-            e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
-            x = x + x @ e
-            w = lam
+        if coarse_first and sweeps > 1 and is64:
+            lo = jnp.complex64 if jnp.issubdtype(dt, jnp.complexfloating) else jnp.float32
+            a32 = a.astype(lo)
+            x32 = x.astype(lo)
+            eye32 = eye.astype(lo)
+            for _ in range(sweeps - 1):
+                x32 = _sweep_eigh(a32, x32, eye32, lo)
+            x = x32.astype(dt)
+            n_full = 1
+        else:
+            n_full = sweeps
+        for _ in range(n_full):
+            x = _sweep_eigh(a, x, eye, dt)
         # final Rayleigh quotients + column normalization
         norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=0))
         x = x / norms[None, :].astype(dt)

@@ -28,44 +28,64 @@ from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
+def _sweep(a, b, x, eye, eps32):
+    """One Ogita-Aishima sweep in the dtype of its arguments."""
+    ar, _ = a
+    xr, xi = x
+    bx = pmatmul(b, x)
+    ax = pmatmul(a, x)
+    xhbx = pmatmul(pH(x), bx)
+    s = pmatmul(pH(x), ax)
+    r = (eye - xhbx[0], -xhbx[1])
+    lam = jnp.diagonal(s[0]) / (1.0 - jnp.diagonal(r[0]))
+    denom = lam[None, :] - lam[:, None]
+    anorm = jnp.max(jnp.abs(lam))
+    sep = jnp.maximum(1e3 * jnp.finfo(ar.dtype).eps * anorm, eps32 * anorm)
+    ok = jnp.abs(denom) > sep
+    safe = jnp.where(ok, denom, 1.0)
+    e_r = jnp.where(ok, (s[0] + lam[None, :] * r[0]) / safe, r[0] / 2)
+    e_i = jnp.where(ok, (s[1] + lam[None, :] * r[1]) / safe, r[1] / 2)
+    dx = pmatmul(x, (e_r, e_i))
+    return (xr + dx[0], xi + dx[1])
+
+
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("sweeps",))
-def refine_gevp_planar(a, b, x, sweeps=2):
+@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first"))
+def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True):
     """Refine planar eigenvectors ``x`` of the pair (a, b); returns (w, x).
 
     a, b, x: planar pairs; x is (n, m). Needs m == n (full spectrum) for
     quadratic convergence to fp64 residuals; a column subset is refined
     only within its span.
+
+    coarse_first: run all but the last sweep in fp32. The early
+    corrections only need a couple of digits (the error they remove is
+    ~1e-5 relative), and the platform's emulated fp64 gemms are ~70% of
+    the whole solver's wall time -- fp32 early sweeps cut that roughly
+    in half with no measurable accuracy loss (validated in
+    tests/test_planar_pipeline.py).
     """
     ar, ai = a
     xr, xi = x
     m = xr.shape[1]
-    eye = jnp.eye(m, dtype=ar.dtype)
     eps32 = jnp.finfo(jnp.float32).eps
 
     with trace_range("refine_gevp_planar"):
-        w = None
-        for _ in range(sweeps):
-            x = (xr, xi)
-            bx = pmatmul(b, x)
-            ax = pmatmul(a, x)
-            xhbx = pmatmul(pH(x), bx)
-            s = pmatmul(pH(x), ax)
-            r = (eye - xhbx[0], -xhbx[1])
-            lam = jnp.diagonal(s[0]) / (1.0 - jnp.diagonal(r[0]))
-            denom = lam[None, :] - lam[:, None]
-            anorm = jnp.max(jnp.abs(lam))
-            sep = jnp.maximum(1e3 * jnp.finfo(ar.dtype).eps * anorm, eps32 * anorm)
-            ok = jnp.abs(denom) > sep
-            safe = jnp.where(ok, denom, 1.0)
-            e_sep_r = (s[0] + lam[None, :] * r[0]) / safe
-            e_sep_i = (s[1] + lam[None, :] * r[1]) / safe
-            e_r = jnp.where(ok, e_sep_r, r[0] / 2)
-            e_i = jnp.where(ok, e_sep_i, r[1] / 2)
-            dx = pmatmul(x, (e_r, e_i))
-            xr = xr + dx[0]
-            xi = xi + dx[1]
-            w = lam
+        if coarse_first and sweeps > 1 and ar.dtype == jnp.float64:
+            f32 = lambda p: (p[0].astype(jnp.float32), p[1].astype(jnp.float32))
+            a32, b32 = f32(a), f32(b)
+            eye32 = jnp.eye(m, dtype=jnp.float32)
+            x32 = f32((xr, xi))
+            for _ in range(sweeps - 1):
+                x32 = _sweep(a32, b32, x32, eye32, eps32)
+            xr = x32[0].astype(ar.dtype)
+            xi = x32[1].astype(ar.dtype)
+            n_f64_sweeps = 1
+        else:
+            n_f64_sweeps = sweeps
+        eye = jnp.eye(m, dtype=ar.dtype)
+        for _ in range(n_f64_sweeps):
+            xr, xi = _sweep(a, b, (xr, xi), eye, eps32)
         # final Rayleigh quotients and B-normalization
         x = (xr, xi)
         bx = pmatmul(b, x)
