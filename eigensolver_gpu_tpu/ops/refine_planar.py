@@ -29,7 +29,11 @@ from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
 def _sweep(a, b, x, eye, eps32):
-    """One Ogita-Aishima sweep in the dtype of its arguments."""
+    """One Ogita-Aishima sweep in the dtype of its arguments.
+
+    Returns (x_updated, lam): the Rayleigh quotients of the PRE-update
+    vectors, whose error is quadratic in the pre-update vector error.
+    """
     ar, _ = a
     xr, xi = x
     bx = pmatmul(b, x)
@@ -46,12 +50,12 @@ def _sweep(a, b, x, eye, eps32):
     e_r = jnp.where(ok, (s[0] + lam[None, :] * r[0]) / safe, r[0] / 2)
     e_i = jnp.where(ok, (s[1] + lam[None, :] * r[1]) / safe, r[1] / 2)
     dx = pmatmul(x, (e_r, e_i))
-    return (xr + dx[0], xi + dx[1])
+    return (xr + dx[0], xi + dx[1]), lam
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first"))
-def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True):
+@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first", "final_pass"))
+def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True, final_pass=False):
     """Refine planar eigenvectors ``x`` of the pair (a, b); returns (w, x).
 
     a, b, x: planar pairs; x is (n, m). Needs m == n (full spectrum) for
@@ -64,6 +68,11 @@ def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True):
     the whole solver's wall time -- fp32 early sweeps cut that roughly
     in half with no measurable accuracy loss (validated in
     tests/test_planar_pipeline.py).
+
+    final_pass: re-evaluate Rayleigh quotients and B-norms after the
+    last update (2 more fp64 matrix products). Off by default: the last
+    sweep's lam is already quadratically accurate, and the post-update
+    B-norms are 1 + O(err^2) by construction (the E_ii = R_ii/2 term).
     """
     ar, ai = a
     xr, xi = x
@@ -77,16 +86,19 @@ def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True):
             eye32 = jnp.eye(m, dtype=jnp.float32)
             x32 = f32((xr, xi))
             for _ in range(sweeps - 1):
-                x32 = _sweep(a32, b32, x32, eye32, eps32)
+                x32, _ = _sweep(a32, b32, x32, eye32, eps32)
             xr = x32[0].astype(ar.dtype)
             xi = x32[1].astype(ar.dtype)
             n_f64_sweeps = 1
         else:
             n_f64_sweeps = sweeps
         eye = jnp.eye(m, dtype=ar.dtype)
+        w = None
         for _ in range(n_f64_sweeps):
-            xr, xi = _sweep(a, b, (xr, xi), eye, eps32)
-        # final Rayleigh quotients and B-normalization
+            (xr, xi), w = _sweep(a, b, (xr, xi), eye, eps32)
+        if not final_pass:
+            return w, (xr, xi)
+        # optional post-update Rayleigh quotients and B-normalization
         x = (xr, xi)
         bx = pmatmul(b, x)
         ax = pmatmul(a, x)
