@@ -80,7 +80,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             f32(ar), f32(ai), f32(br), f32(bi), il=1, iu=n,
             cfg=SolverConfig(
                 nb_tridiag=cfg.nb_tridiag, nb_back=cfg.nb_back,
-                stedc_leaf=cfg.stedc_leaf,
+                stedc_leaf=cfg.stedc_leaf, use_pallas=cfg.use_pallas,
             ),
         )
         x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))
@@ -109,7 +109,9 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         nbt = cfg.nb_tridiag
         npad = -(-n // nbt) * nbt
         cr_p, ci_p = _pad_planar(cr, ci, npad)
-        (pr, pi), d, e, (taur, taui) = hetrd_planar(cr_p, ci_p, nb=nbt)
+        (pr, pi), d, e, (taur, taui) = hetrd_planar(
+            cr_p, ci_p, nb=nbt, use_pallas=cfg.use_pallas
+        )
         w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
         w = w_all[il - 1 : iu]
         zr0 = q_tri[:, il - 1 : iu]

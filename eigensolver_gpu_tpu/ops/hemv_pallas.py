@@ -102,6 +102,12 @@ def hemv_planar(ar, ai, vr, vi, tile=256, interpret=False):
     return out[:, 0], out[:, 1]
 
 
+def hemv_planar_auto(ar, ai, vr, vi, tile=256):
+    """hemv_planar with interpreter fallback off-TPU (CPU tests)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return hemv_planar(ar, ai, vr, vi, tile=tile, interpret=not on_tpu)
+
+
 def hemv_auto(a_complex, v_complex, tile=256):
     """Convenience complex-in/complex-out wrapper (off-TPU testing)."""
     on_tpu = jax.devices()[0].platform == "tpu"

@@ -58,7 +58,9 @@ def _larfg_planar(alphr, alphi, xnormsq):
     )
 
 
-def _panel_columns_planar(ar, ai, vr, vi, wr, wi, d, e, taur, taui, panel_end, nb):
+def _panel_columns_planar(
+    ar, ai, vr, vi, wr, wi, d, e, taur, taui, panel_end, nb, use_pallas=False
+):
     mb = ar.shape[0]
     rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
 
@@ -98,7 +100,16 @@ def _panel_columns_planar(ar, ai, vr, vi, wr, wi, d, e, taur, taui, panel_end, n
         v_i = jnp.where(one_here, 0.0, v_i)
 
         # y = A v  -  [V W] ([W V]^H v)
-        y_r, y_i = _pgemv(ar, ai, v_r, v_i)
+        # The A@v is the traffic-dominant op of the whole reduction (the
+        # reference's zhemv_gpu); the Pallas planar hemv reads only the
+        # upper-triangle tiles. Junk in processed columns is harmless
+        # (v is zero there) and junk rows >= cj are masked below.
+        if use_pallas:
+            from eigensolver_gpu_tpu.ops.hemv_pallas import hemv_planar_auto
+
+            y_r, y_i = hemv_planar_auto(ar, ai, v_r, v_i)
+        else:
+            y_r, y_i = _pgemv(ar, ai, v_r, v_i)
         z_r, z_i = _pgemv_h(wv_r, wv_i, v_r, v_i)
         c2r, c2i = _pgemv(vw_r, vw_i, z_r, z_i)
         y_r = y_r - c2r
@@ -152,8 +163,8 @@ def _panel_columns_planar(ar, ai, vr, vi, wr, wi, d, e, taur, taui, panel_end, n
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("nb", "bucket"))
-def hetrd_planar(a_r, a_i, nb=32, bucket=512):
+@functools.partial(jax.jit, static_argnames=("nb", "bucket", "use_pallas"))
+def hetrd_planar(a_r, a_i, nb=32, bucket=512, use_pallas=False):
     """Planar blocked hetrd. Returns ((ar, ai) packed, d, e, (taur, taui))."""
     n = a_r.shape[0]
     if n % nb != 0:
@@ -178,14 +189,18 @@ def hetrd_planar(a_r, a_i, nb=32, bucket=512):
             ar_mb = ar[:mb, :mb]
             ai_mb = ai[:mb, :mb]
             rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
+            # Mosaic has no fp64 in-kernel dot; the Pallas hemv serves the
+            # fp32 path only (the mixed-precision pipeline)
+            pallas_ok = use_pallas and rdt == jnp.float32 and mb % 512 == 0
 
-            def panel_step(p, carry, mb=mb, rows=rows):
+            def panel_step(p, carry, mb=mb, rows=rows, pallas_ok=pallas_ok):
                 ar_mb, ai_mb, d, e, taur, taui = carry
                 panel_end = mb - p * nb
                 z = jnp.zeros((mb, nb), rdt)
                 ar_mb, ai_mb, vr, vi, wr, wi, d, e, taur, taui = (
                     _panel_columns_planar(
-                        ar_mb, ai_mb, z, z, z, z, d, e, taur, taui, panel_end, nb
+                        ar_mb, ai_mb, z, z, z, z, d, e, taur, taui, panel_end,
+                        nb, pallas_ok,
                     )
                 )
                 # trailing her2k: A -= V W^H + W V^H (planar, masked)

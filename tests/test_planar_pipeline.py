@@ -130,3 +130,18 @@ def test_zhegvdx_planar_batched_chunked():
         z = np.asarray(zr)[k] + 1j * np.asarray(zi)[k]
         w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
         assert np.allclose(np.asarray(w)[k], w_ref[:iu], atol=1e-10 * n)
+
+
+def test_hetrd_planar_pallas_path():
+    """use_pallas hetrd (interpret mode on CPU) matches the plain path."""
+    import jax.numpy as jnp
+
+    n = 512  # mb % 512 == 0 so the Pallas gate opens
+    a, _ = random_hpd_pair(n, seed=98)
+    ar = np.ascontiguousarray(a.real, np.float32)
+    ai = np.ascontiguousarray(a.imag, np.float32)
+    _, d0, e0, _ = hetrd_planar(ar, ai, nb=32, use_pallas=False)
+    _, d1, e1, _ = hetrd_planar(ar, ai, nb=32, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.abs(np.asarray(e0)), np.abs(np.asarray(e1)),
+                               rtol=1e-4, atol=1e-3)
