@@ -62,3 +62,14 @@ def test_syevdx_top_of_spectrum():
     w, z = syevdx(a, il=n - 3, iu=n, cfg=CFG_SMALL)
     w_ref = np.linalg.eigvalsh(a)
     assert np.allclose(np.asarray(w), w_ref[-4:], atol=1e-11 * n)
+
+def test_bitwise_determinism():
+    """SURVEY.md §5.2: the reference's atomicAdd accumulation is
+    nondeterministic run to run; this framework has no atomics and must
+    be bitwise reproducible."""
+    n = 96
+    a, b = random_spd_pair(n, seed=106)
+    r1 = dsygvdx(a, b, il=1, iu=16, cfg=CFG_SMALL)
+    r2 = dsygvdx(a, b, il=1, iu=16, cfg=CFG_SMALL)
+    assert np.array_equal(np.asarray(r1.w), np.asarray(r2.w))
+    assert np.array_equal(np.asarray(r1.z), np.asarray(r2.z))
