@@ -84,8 +84,10 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             ),
         )
         x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))
+        # chunk the fp64 gemms at large n (operand expansion OOMs otherwise)
+        chunk = 2048 if n >= 8192 else None
         w, (zr, zi) = refine_gevp_planar(
-            (ar, ai), (br, bi), x64, sweeps=cfg.refine_iters
+            (ar, ai), (br, bi), x64, sweeps=cfg.refine_iters, chunk=chunk
         )
         order = jnp.argsort(w)
         w = w[order]

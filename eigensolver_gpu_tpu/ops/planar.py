@@ -66,6 +66,22 @@ def pmatmul(x, y):
     return (m1 - m2, m3 - m1 - m2)
 
 
+def pmatmul_chunked(x, y, chunk):
+    """pmatmul with the columns of y processed in sequential chunks.
+
+    The platform's emulated fp64 dot expands each operand into 8 fp32
+    slices; chunking keeps one expansion alive at a time (needed for
+    n >= 8192 refinement gemms, which otherwise OOM the 16 GB HBM)."""
+    m = y[0].shape[1]
+    if chunk is None or chunk >= m or m % chunk != 0:
+        return pmatmul(x, y)
+    resh = lambda a: a.reshape(a.shape[0], m // chunk, chunk).transpose(1, 0, 2)
+    yr, yi = resh(y[0]), resh(y[1])
+    out = jax.lax.map(lambda t: pmatmul(x, t), (yr, yi))
+    flat = lambda a: a.transpose(1, 0, 2).reshape(x[0].shape[0], m)
+    return flat(out[0]), flat(out[1])
+
+
 def pdiv(x, y):
     """Elementwise complex division x / y."""
     den = y[0] * y[0] + y[1] * y[1]

@@ -23,12 +23,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from eigensolver_gpu_tpu.ops.planar import pmatmul, pH
+from eigensolver_gpu_tpu.ops.planar import pmatmul, pmatmul_chunked, pH
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
-def _sweep(a, b, x, eye, eps32):
+def _sweep(a, b, x, eye, eps32, chunk=None):
     """One Ogita-Aishima sweep in the dtype of its arguments.
 
     Returns (x_updated, lam): the Rayleigh quotients of the PRE-update
@@ -36,10 +36,10 @@ def _sweep(a, b, x, eye, eps32):
     """
     ar, _ = a
     xr, xi = x
-    bx = pmatmul(b, x)
-    ax = pmatmul(a, x)
-    xhbx = pmatmul(pH(x), bx)
-    s = pmatmul(pH(x), ax)
+    bx = pmatmul_chunked(b, x, chunk)
+    ax = pmatmul_chunked(a, x, chunk)
+    xhbx = pmatmul_chunked(pH(x), bx, chunk)
+    s = pmatmul_chunked(pH(x), ax, chunk)
     r = (eye - xhbx[0], -xhbx[1])
     lam = jnp.diagonal(s[0]) / (1.0 - jnp.diagonal(r[0]))
     denom = lam[None, :] - lam[:, None]
@@ -49,13 +49,18 @@ def _sweep(a, b, x, eye, eps32):
     safe = jnp.where(ok, denom, 1.0)
     e_r = jnp.where(ok, (s[0] + lam[None, :] * r[0]) / safe, r[0] / 2)
     e_i = jnp.where(ok, (s[1] + lam[None, :] * r[1]) / safe, r[1] / 2)
-    dx = pmatmul(x, (e_r, e_i))
+    dx = pmatmul_chunked(x, (e_r, e_i), chunk)
     return (xr + dx[0], xi + dx[1]), lam
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first", "final_pass"))
-def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True, final_pass=False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("sweeps", "coarse_first", "final_pass", "chunk"),
+)
+def refine_gevp_planar(
+    a, b, x, sweeps=2, coarse_first=True, final_pass=False, chunk=None
+):
     """Refine planar eigenvectors ``x`` of the pair (a, b); returns (w, x).
 
     a, b, x: planar pairs; x is (n, m). Needs m == n (full spectrum) for
@@ -95,7 +100,7 @@ def refine_gevp_planar(a, b, x, sweeps=2, coarse_first=True, final_pass=False):
         eye = jnp.eye(m, dtype=ar.dtype)
         w = None
         for _ in range(n_f64_sweeps):
-            (xr, xi), w = _sweep(a, b, (xr, xi), eye, eps32)
+            (xr, xi), w = _sweep(a, b, (xr, xi), eye, eps32, chunk)
         if not final_pass:
             return w, (xr, xi)
         # optional post-update Rayleigh quotients and B-normalization

@@ -63,3 +63,16 @@ def test_pcholesky_not_pd():
     b = -np.eye(n, dtype=complex)
     _, info = pcholesky_lower(to_planar(b), nb=64)
     assert int(info) > 0
+
+
+def test_pmatmul_chunked():
+    from eigensolver_gpu_tpu.ops.planar import pmatmul_chunked
+
+    rng = np.random.default_rng(5)
+    x = _rand_c(rng, 96, 64)
+    y = _rand_c(rng, 64, 48)
+    c = from_planar(pmatmul_chunked(to_planar(x), to_planar(y), 16))
+    np.testing.assert_allclose(c, x @ y, rtol=1e-12, atol=1e-12)
+    # non-divisible chunk falls back to the plain product
+    c2 = from_planar(pmatmul_chunked(to_planar(x), to_planar(y), 7))
+    np.testing.assert_allclose(c2, x @ y, rtol=1e-12, atol=1e-12)
