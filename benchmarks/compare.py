@@ -106,8 +106,12 @@ def main():
     cases = args.cases.split(",")
     print(f"n={n} dtype={'complex128' if args.dtype=='z' else 'float64'} "
           f"il=1 iu={iu} device={jax.devices()[0]}", flush=True)
-    a = jnp.asarray(a_h)
-    b = jnp.asarray(b_h)
+    need_native = any(c in cases for c in ("xla", "dc", "mp"))
+    if need_native:
+        # complex dtypes cannot be device_put on the TPU stack; only the
+        # complex-native cases need these (zpl/zemb take planar parts)
+        a = jnp.asarray(a_h)
+        b = jnp.asarray(b_h)
 
     results = {}
     if "cpu" in cases:
