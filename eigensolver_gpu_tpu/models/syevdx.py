@@ -86,7 +86,10 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
             w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
             z_tri = q_tri.astype(lo_dt) if iscomplex else q_tri
             x32 = unmtr(a_packed, tau, z_tri[:, :n], nb=cfg.nb_back)[:n]
-        w, x = refine_eigh(a, x32.astype(a.dtype), sweeps=cfg.refine_iters)
+        w, x = refine_eigh(
+            a, x32.astype(a.dtype), sweeps=cfg.refine_iters,
+            chunk=2048 if n >= 8192 else None,
+        )
         order = jnp.argsort(w)
         w = w[order]
         x = x[:, order]

@@ -34,10 +34,21 @@ from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
-def _sweep_eigh(a, x, eye, dt):
+def _mm_chunked(x, y, chunk):
+    """x @ y with y's columns in sequential chunks (one emulated-fp64
+    operand expansion alive at a time; see ops/planar.pmatmul_chunked)."""
+    m = y.shape[1]
+    if chunk is None or chunk >= m or m % chunk != 0:
+        return x @ y
+    yc = y.reshape(y.shape[0], m // chunk, chunk).transpose(1, 0, 2)
+    out = jax.lax.map(lambda t: x @ t, yc)
+    return out.transpose(1, 0, 2).reshape(x.shape[0], m)
+
+
+def _sweep_eigh(a, x, eye, dt, chunk=None):
     eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
-    r = eye - jnp.conj(x.T) @ x
-    s = jnp.conj(x.T) @ (a @ x)
+    r = eye - _mm_chunked(jnp.conj(x.T), x, chunk)
+    s = _mm_chunked(jnp.conj(x.T), _mm_chunked(a, x, chunk), chunk)
     lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
         jnp.zeros((), dt).real.dtype
     )
@@ -49,12 +60,12 @@ def _sweep_eigh(a, x, eye, dt):
     safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
     e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
     e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
-    return x + x @ e
+    return x + _mm_chunked(x, e, chunk)
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first"))
-def refine_eigh(a, x, sweeps=2, coarse_first=True):
+@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first", "chunk"))
+def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None):
     """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of
     dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype.
 
@@ -80,7 +91,7 @@ def refine_eigh(a, x, sweeps=2, coarse_first=True):
         else:
             n_full = sweeps
         for _ in range(n_full):
-            x = _sweep_eigh(a, x, eye, dt)
+            x = _sweep_eigh(a, x, eye, dt, chunk)
         # final Rayleigh quotients + column normalization
         norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=0))
         x = x / norms[None, :].astype(dt)
