@@ -66,9 +66,14 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     a = _from_upper(a)
     b = _from_upper(b)
 
+    # XLA's whole-matrix triangular solve keeps O(n) full-width block
+    # temps alive, which OOMs a single chip at n >= 8192 (measured);
+    # the blocked recurrence is memory-frugal there.
+    sygst_mode = "blocked" if (cfg.sygst_mode == "full" and n >= 8192) else cfg.sygst_mode
+
     with trace_range("sygvdx"):
         u, info = cholesky_upper(b)  # PHASE 1 (zhegvdx_gpu.F90:135)
-        c = sygst(a, u, mode=cfg.sygst_mode, nb=cfg.nb_sygst)  # PHASE 2 (:158)
+        c = sygst(a, u, mode=sygst_mode, nb=cfg.nb_sygst)  # PHASE 2 (:158)
         w, y = syevdx(c, il=il, iu=iu, cfg=cfg)  # PHASE 3 (:163)
         # PHASE 4: x = U^{-1} y (cublasZtrsm, zhegvdx_gpu.F90:169)
         z = lax.linalg.triangular_solve(
