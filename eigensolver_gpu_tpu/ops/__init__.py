@@ -10,6 +10,7 @@ from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
 from eigensolver_gpu_tpu.ops.jacobi import jacobi_eigh
 from eigensolver_gpu_tpu.ops.refine import refine_eigh
 from eigensolver_gpu_tpu.ops.refine_planar import refine_gevp_planar
+from eigensolver_gpu_tpu.ops.sbrd import sbrd
 from eigensolver_gpu_tpu.ops.stedc import stedc
 from eigensolver_gpu_tpu.ops.sygst import sygst, sygst_full, sygst_blocked
 from eigensolver_gpu_tpu.ops.sytrd import sytrd, sytrd_blocked
@@ -22,6 +23,7 @@ __all__ = [
     "jacobi_eigh",
     "refine_eigh",
     "refine_gevp_planar",
+    "sbrd",
     "stedc",
     "sygst",
     "sygst_full",
