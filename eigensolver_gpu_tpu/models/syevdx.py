@@ -82,7 +82,7 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         lo_dt = jnp.complex64 if iscomplex else jnp.float32
         a_p = _pad_decoupled(a.astype(lo_dt), npad)
         with trace_range("syevdx_fp32"):
-            a_packed, d, e, tau = sytrd(a_p, nb=nb, use_pallas=cfg.use_pallas)
+            a_packed, d, e, tau = sytrd(a_p, nb=nb, bucket=256, use_pallas=cfg.use_pallas)
             w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
             z_tri = q_tri.astype(lo_dt) if iscomplex else q_tri
             x32 = unmtr(a_packed, tau, z_tri[:, :n], nb=cfg.nb_back)[:n]
@@ -97,7 +97,7 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
 
     a_p = _pad_decoupled(a, npad)
     with trace_range("syevdx"):
-        a_packed, d, e, tau = sytrd(a_p, nb=nb, use_pallas=cfg.use_pallas)
+        a_packed, d, e, tau = sytrd(a_p, nb=nb, bucket=256, use_pallas=cfg.use_pallas)
         w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
         # stedc pads internally and returns npad pairs sorted ascending;
         # our decoupled padding sorts above the true spectrum, so indices
