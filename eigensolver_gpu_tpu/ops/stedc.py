@@ -40,7 +40,11 @@ from jax import lax
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
-_SECULAR_ITERS = 60
+def _secular_iters(dt):
+    """Safeguarded-iteration count: worst-case lanes degrade to bisection,
+    so the count must bottom out the dtype's precision (interval/2^k below
+    eps * scale). 60 covers double-word fp64; fp32 bottoms out by ~35."""
+    return 60 if jnp.finfo(dt).bits == 64 else 35
 
 
 def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
@@ -176,7 +180,7 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
         )
         return cand, lo, hi
 
-    mu, lo, hi = lax.fori_loop(0, _SECULAR_ITERS, secular_step, (mu0, lo0, hi0))
+    mu, lo, hi = lax.fori_loop(0, _secular_iters(dt), secular_step, (mu0, lo0, hi0))
     # final safeguarded value strictly inside the interval
     mu = jnp.clip(mu, lo, hi)
     sigma = jnp.where(sig_right, nxt_d, dp)
