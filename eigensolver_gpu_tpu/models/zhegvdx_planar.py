@@ -27,7 +27,6 @@ from eigensolver_gpu_tpu.ops.planar import (
     pcholesky_lower,
     pH,
     ptrsm_left_lower,
-    ptrsm_left_upper,
 )
 from eigensolver_gpu_tpu.ops.stedc import stedc
 from eigensolver_gpu_tpu.ops.sytrd_planar import hetrd_planar
@@ -98,11 +97,25 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             info=info,
         )
 
+    # fp32 pipeline: diagonal-block-inverted solves (~30 sequential steps
+    # vs n row steps; the fp64 refinement absorbs the eps*kappa forward
+    # error). fp64 path keeps pure substitution.
+    if ar.dtype == jnp.float32:
+        from eigensolver_gpu_tpu.ops.planar import ptrsm_left_lower_inv as _solve_l
+    else:
+        _solve_l = ptrsm_left_lower
+
+    def _solve_u(u, rhs, nb):
+        fl = lambda mm: jnp.flip(mm, axis=(0, 1))
+        flv = lambda mm: jnp.flip(mm, axis=0)
+        xr_, xi_ = _solve_l((fl(u[0]), fl(u[1])), (flv(rhs[0]), flv(rhs[1])), nb=nb)
+        return flv(xr_), flv(xi_)
+
     with trace_range("zhegvdx_planar"):
         l, info = pcholesky_lower((br, bi), nb=nb_chol)  # PHASE 1
         # PHASE 2: C = L^{-1} A L^{-H} = L^{-1} (L^{-1} A^H)^H
-        x = ptrsm_left_lower(l, (ar, ai), nb=nb_chol)
-        y = ptrsm_left_lower(l, pH(x), nb=nb_chol)
+        x = _solve_l(l, (ar, ai), nb=nb_chol)
+        y = _solve_l(l, pH(x), nb=nb_chol)
         cr, ci = pH(y)
         cr = (cr + cr.T) / 2
         ci = (ci - ci.T) / 2
@@ -123,7 +136,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
 
         # PHASE 4: x = L^{-H} y  (L^H is upper triangular)
         lh = pH(l)
-        zr, zi = ptrsm_left_upper(lh, (yr, yi), nb=nb_chol)
+        zr, zi = _solve_u(lh, (yr, yi), nb=nb_chol)
         return PlanarResult(w=w, zr=zr, zi=zi, info=info)
 
 

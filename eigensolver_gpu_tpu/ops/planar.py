@@ -132,6 +132,106 @@ def _fsub_base(lr, li, br, bi, nb):
     return lax.fori_loop(0, nb, body, x0)
 
 
+def _ptrinv_batched(lr, li, base=16):
+    """Batched inverse of planar lower-triangular blocks (B, k, k).
+
+    Recursive block inversion: inv([[A,0],[C,D]]) = [[iA,0],[-iD C iA, iD]].
+    All blocks at each level invert together, so the sequential depth is
+    base + log2(k/base) steps instead of k substitution rows -- the
+    ptrsm diagonal solves were the pipeline's hidden row-serial loop.
+    """
+    k = lr.shape[-1]
+    if k <= base:
+        # batched substitution against the identity, fori over base rows
+        nb_ = lr.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=lr.dtype), (nb_, k, k))
+
+        def body(i, x):
+            xr, xi = x
+            lrow_r = lax.dynamic_slice(lr, (0, i, 0), (nb_, 1, k))[:, 0, :]
+            lrow_i = lax.dynamic_slice(li, (0, i, 0), (nb_, 1, k))[:, 0, :]
+            acc_r = jnp.einsum("bk,bkj->bj", lrow_r, xr) - jnp.einsum(
+                "bk,bkj->bj", lrow_i, xi
+            )
+            acc_i = jnp.einsum("bk,bkj->bj", lrow_r, xi) + jnp.einsum(
+                "bk,bkj->bj", lrow_i, xr
+            )
+            rhs_r = eye[:, i, :] - acc_r
+            rhs_i = -acc_i
+            dr = lr[:, i, i][:, None]
+            di = li[:, i, i][:, None]
+            den = dr * dr + di * di
+            safe = jnp.where(den == 0, jnp.ones_like(den), den)
+            row_r = (rhs_r * dr + rhs_i * di) / safe
+            row_i = (rhs_i * dr - rhs_r * di) / safe
+            xr = lax.dynamic_update_slice(xr, row_r[:, None, :], (0, i, 0))
+            xi = lax.dynamic_update_slice(xi, row_i[:, None, :], (0, i, 0))
+            return xr, xi
+
+        z = jnp.zeros_like(lr)
+        return lax.fori_loop(0, k, body, (z, z))
+    h = k // 2
+    ia_r, ia_i = _ptrinv_batched(lr[:, :h, :h], li[:, :h, :h], base)
+    id_r, id_i = _ptrinv_batched(lr[:, h:, h:], li[:, h:, h:], base)
+    cr, ci = lr[:, h:, :h], li[:, h:, :h]
+    # M = iD @ C @ iA  (batched planar products)
+    t_r = jnp.einsum("bij,bjk->bik", cr, ia_r) - jnp.einsum("bij,bjk->bik", ci, ia_i)
+    t_i = jnp.einsum("bij,bjk->bik", cr, ia_i) + jnp.einsum("bij,bjk->bik", ci, ia_r)
+    m_r = jnp.einsum("bij,bjk->bik", id_r, t_r) - jnp.einsum("bij,bjk->bik", id_i, t_i)
+    m_i = jnp.einsum("bij,bjk->bik", id_r, t_i) + jnp.einsum("bij,bjk->bik", id_i, t_r)
+    top_r = jnp.concatenate([ia_r, jnp.zeros_like(cr).transpose(0, 2, 1)], axis=2)
+    top_i = jnp.concatenate([ia_i, jnp.zeros_like(ci).transpose(0, 2, 1)], axis=2)
+    bot_r = jnp.concatenate([-m_r, id_r], axis=2)
+    bot_i = jnp.concatenate([-m_i, id_i], axis=2)
+    return (
+        jnp.concatenate([top_r, bot_r], axis=1),
+        jnp.concatenate([top_i, bot_i], axis=1),
+    )
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("nb",))
+def ptrsm_left_lower_inv(l, b, nb=128):
+    """L X = B via batched-inverted diagonal blocks + blocked forward
+    substitution: ~30 sequential steps instead of n row steps. Forward
+    error ~eps * kappa(L_block) -- used on the fp32 pipeline where the
+    fp64 refinement absorbs it; the fp64 path keeps pure substitution."""
+    lr, li = l
+    br, bi = b
+    n = lr.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"ptrsm requires n % nb == 0, got n={n}, nb={nb}")
+    nblocks = n // nb
+    # gather and invert all diagonal blocks at once
+    diags_r = jnp.stack([lr[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb] for k in range(nblocks)])
+    diags_i = jnp.stack([li[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb] for k in range(nblocks)])
+    inv_r, inv_i = _ptrinv_batched(diags_r, diags_i)
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    def body(k, x):
+        xr, xi = x
+        k0 = k * nb
+        lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, n))
+        lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, n))
+        mask = (rows < k0)[None, :]
+        lrow_r = jnp.where(mask, lrow_r, 0.0)
+        lrow_i = jnp.where(mask, lrow_i, 0.0)
+        acc_r = lrow_r @ xr - lrow_i @ xi
+        acc_i = lrow_r @ xi + lrow_i @ xr
+        rhs_r = lax.dynamic_slice(br, (k0, 0), (nb, br.shape[1])) - acc_r
+        rhs_i = lax.dynamic_slice(bi, (k0, 0), (nb, bi.shape[1])) - acc_i
+        ir = lax.dynamic_slice(inv_r, (k, 0, 0), (1, nb, nb))[0]
+        ii = lax.dynamic_slice(inv_i, (k, 0, 0), (1, nb, nb))[0]
+        sol_r = ir @ rhs_r - ii @ rhs_i
+        sol_i = ir @ rhs_i + ii @ rhs_r
+        xr = lax.dynamic_update_slice(xr, sol_r, (k0, 0))
+        xi = lax.dynamic_update_slice(xi, sol_i, (k0, 0))
+        return xr, xi
+
+    x0 = (jnp.zeros_like(br), jnp.zeros_like(bi))
+    return lax.fori_loop(0, nblocks, body, x0)
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("nb",))
 def ptrsm_left_lower(l, b, nb=128):

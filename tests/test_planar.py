@@ -76,3 +76,15 @@ def test_pmatmul_chunked():
     # non-divisible chunk falls back to the plain product
     c2 = from_planar(pmatmul_chunked(to_planar(x), to_planar(y), 7))
     np.testing.assert_allclose(c2, x @ y, rtol=1e-12, atol=1e-12)
+
+
+def test_ptrsm_inverted_diag_blocks():
+    from eigensolver_gpu_tpu.ops.planar import ptrsm_left_lower_inv
+
+    n, m, nb = 256, 32, 128
+    rng = np.random.default_rng(6)
+    l = np.tril(_rand_c(rng, n, n)) + n * np.eye(n)
+    b = _rand_c(rng, n, m)
+    x = from_planar(ptrsm_left_lower_inv(to_planar(l), to_planar(b), nb=nb))
+    x_ref = scipy.linalg.solve_triangular(l, b, lower=True)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-10)
