@@ -60,6 +60,37 @@ def _larft_left_planar(vr, vi, tr, ti):
     return lax.fori_loop(0, kb, body, (t0, t0))
 
 
+def _larft_left_batched(vr, vi, tr, ti):
+    """T factors for ALL reflector blocks at once: the rows of each T are
+    a sequential recurrence, but the blocks are mutually independent, so
+    one fori over kb rows builds every block's T simultaneously
+    (sequential depth kb instead of kb * nblocks)."""
+    nb_, _, kb = vr.shape[0], vr.shape[1], vr.shape[2]
+    dt = vr.dtype
+    m_r = jnp.einsum("bji,bjk->bik", vr, vr) + jnp.einsum("bji,bjk->bik", vi, vi)
+    m_i = jnp.einsum("bji,bjk->bik", vr, vi) - jnp.einsum("bji,bjk->bik", vi, vr)
+    cols = lax.broadcasted_iota(jnp.int32, (1, kb), 1)[0]
+
+    def body(j, t):
+        t_r, t_i = t
+        mrow_r = jnp.where(cols[None, :] < j, m_r[:, j, :], 0.0)
+        mrow_i = jnp.where(cols[None, :] < j, m_i[:, j, :], 0.0)
+        pr = jnp.einsum("bk,bkj->bj", mrow_r, t_r) - jnp.einsum("bk,bkj->bj", mrow_i, t_i)
+        pi = jnp.einsum("bk,bkj->bj", mrow_r, t_i) + jnp.einsum("bk,bkj->bj", mrow_i, t_r)
+        tj_r = tr[:, j][:, None]
+        tj_i = ti[:, j][:, None]
+        row_r = -(tj_r * pr - tj_i * pi)
+        row_i = -(tj_r * pi + tj_i * pr)
+        row_r = jnp.where(cols[None, :] == j, tj_r, row_r)
+        row_i = jnp.where(cols[None, :] == j, tj_i, row_i)
+        t_r = lax.dynamic_update_slice(t_r, row_r[:, None, :], (0, j, 0))
+        t_i = lax.dynamic_update_slice(t_i, row_i[:, None, :], (0, j, 0))
+        return t_r, t_i
+
+    t0 = jnp.zeros((nb_, kb, kb), dt)
+    return lax.fori_loop(0, kb, body, (t0, t0))
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("nb",))
 def unmtr_planar(ar, ai, taur, taui, cr, ci, nb=128):
@@ -75,23 +106,28 @@ def unmtr_planar(ar, ai, taur, taui, cr, ci, nb=128):
     ar_e = jnp.concatenate([ar, jnp.zeros((n, nblocks * nb + 1 - n), ar.dtype)], 1)
     ai_e = jnp.concatenate([ai, jnp.zeros((n, nblocks * nb + 1 - n), ai.dtype)], 1)
 
-    def body(i, c):
-        cr, ci = c
-        r0 = i * nb
-        vr, vi = _block_v_planar(ar_e, ai_e, r0, nb, nref)
-        t_r, t_i = _larft_left_planar(
-            vr, vi,
-            lax.dynamic_slice(tr, (r0,), (nb,)),
-            lax.dynamic_slice(ti, (r0,), (nb,)),
-        )
-        # p = V^H C ; C -= V (T p)
-        p_r = vr.T @ cr + vi.T @ ci
-        p_i = vr.T @ ci - vi.T @ cr
-        q_r = t_r @ p_r - t_i @ p_i
-        q_i = t_r @ p_i + t_i @ p_r
-        cr = cr - (vr @ q_r - vi @ q_i)
-        ci = ci - (vr @ q_i + vi @ q_r)
-        return cr, ci
-
     with trace_range("unmtr_planar"):
+        # extract every reflector block and build every T factor batched
+        vs = [_block_v_planar(ar_e, ai_e, k * nb, nb, nref) for k in range(nblocks)]
+        vr_all = jnp.stack([v[0] for v in vs])
+        vi_all = jnp.stack([v[1] for v in vs])
+        t_r_all, t_i_all = _larft_left_batched(
+            vr_all, vi_all, tr.reshape(nblocks, nb), ti.reshape(nblocks, nb)
+        )
+
+        def body(i, c):
+            cr, ci = c
+            vr = lax.dynamic_slice(vr_all, (i, 0, 0), (1, n, nb))[0]
+            vi = lax.dynamic_slice(vi_all, (i, 0, 0), (1, n, nb))[0]
+            t_r = lax.dynamic_slice(t_r_all, (i, 0, 0), (1, nb, nb))[0]
+            t_i = lax.dynamic_slice(t_i_all, (i, 0, 0), (1, nb, nb))[0]
+            # p = V^H C ; C -= V (T p)
+            p_r = vr.T @ cr + vi.T @ ci
+            p_i = vr.T @ ci - vi.T @ cr
+            q_r = t_r @ p_r - t_i @ p_i
+            q_i = t_r @ p_i + t_i @ p_r
+            cr = cr - (vr @ q_r - vi @ q_i)
+            ci = ci - (vr @ q_i + vi @ q_r)
+            return cr, ci
+
         return lax.fori_loop(0, nblocks, body, (cr, ci))
