@@ -70,6 +70,24 @@ def _larft_left(v, tau_blk):
     return lax.fori_loop(0, kb, body, t0)
 
 
+def _larft_left_batched(v, tau):
+    """_larft_left for a stack of blocks at once: the per-block row
+    recurrences are independent, so one fori over kb rows builds every
+    T (sequential depth kb instead of kb * nblocks)."""
+    nb_, _, kb = v.shape
+    dt = v.dtype
+    m = jnp.einsum("bji,bjk->bik", jnp.conj(v), v)
+    cols = lax.broadcasted_iota(jnp.int32, (1, kb), 1)[0]
+
+    def body(j, t):
+        mrow = jnp.where(cols[None, :] < j, m[:, j, :], jnp.zeros((), dt))
+        row = -tau[:, j][:, None] * jnp.einsum("bk,bkj->bj", mrow, t)
+        row = jnp.where(cols[None, :] == j, tau[:, j][:, None], row)
+        return lax.dynamic_update_slice(t, row[:, None, :], (0, j, 0))
+
+    return lax.fori_loop(0, kb, body, jnp.zeros((nb_, kb, kb), dt))
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("nb",))
 def unmtr(a_packed, tau, c, nb=128):
@@ -92,15 +110,17 @@ def unmtr(a_packed, tau, c, nb=128):
         [a_packed, jnp.zeros((n, nblocks * nb + 1 - n), a_packed.dtype)], axis=1
     )
 
-    def body(i, c):
-        r0 = i * nb
-        v = _block_v(a_ext, r0, nb, nref)
-        t = _larft_left(v, lax.dynamic_slice(tau_pad, (r0,), (nb,)))
-        # C <- (I - V T V^H) C : two gemms + one small triangular gemm
-        p = jnp.conj(v).T @ c
-        return c - v @ (t @ p)
-
     with trace_range("unmtr"):
+        v_all = jnp.stack([_block_v(a_ext, k * nb, nb, nref) for k in range(nblocks)])
+        t_all = _larft_left_batched(v_all, tau_pad.reshape(nblocks, nb))
+
+        def body(i, c):
+            v = lax.dynamic_slice(v_all, (i, 0, 0), (1, n, nb))[0]
+            t = lax.dynamic_slice(t_all, (i, 0, 0), (1, nb, nb))[0]
+            # C <- (I - V T V^H) C : two gemms + one small triangular gemm
+            p = jnp.conj(v).T @ c
+            return c - v @ (t @ p)
+
         return lax.fori_loop(0, nblocks, body, c)
 
 
