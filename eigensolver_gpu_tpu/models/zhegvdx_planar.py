@@ -43,6 +43,19 @@ class PlanarResult(NamedTuple):
     info: jax.Array
 
 
+def _from_upper_planar(xr, xi):
+    """Rebuild the Hermitian planar pair from its upper triangle — LAPACK
+    UPLO='U' semantics (zhegvdx_gpu.F90:58: only the upper triangle is
+    read; the strict lower may hold anything). Real part symmetric with
+    the stored diagonal; imaginary part antisymmetric with zero diagonal."""
+    upr = jnp.triu(xr, 1)
+    upi = jnp.triu(xi, 1)
+    return (
+        upr + upr.T + jnp.diag(jnp.diagonal(xr)),
+        upi - upi.T,
+    )
+
+
 def _pad_planar(ar, ai, npad):
     n = ar.shape[0]
     if npad == n:
@@ -65,7 +78,13 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
     n = ar.shape[0]
     if iu is None:
         iu = n
+    if not (1 <= il <= iu <= n):
+        raise ValueError(f"require 1 <= il <= iu <= n, got il={il}, iu={iu}, n={n}")
     nb_chol = min(128, n)
+
+    # UPLO='U' contract: only the upper triangles are read.
+    ar, ai = _from_upper_planar(ar, ai)
+    br, bi = _from_upper_planar(br, bi)
 
     mixed = cfg.compute_dtype == "float32" and ar.dtype == jnp.float64
     if mixed:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from eigensolver_gpu_tpu.models.sygvdx import SygvdxResult, sygvdx
+from eigensolver_gpu_tpu.models.sygvdx import SygvdxResult, _from_upper, sygvdx
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
 from eigensolver_gpu_tpu.models.syevdx import syevdx
 from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
@@ -36,6 +36,9 @@ from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
 @functools.partial(jax.jit, static_argnames=("mesh", "il", "iu", "cfg"))
 def _sharded_step(a, b, mesh, il, iu, cfg):
     repl = NamedSharding(mesh, P())
+    # UPLO='U' contract, same normalization as the unsharded driver
+    a = _from_upper(a)
+    b = _from_upper(b)
     u, info = cholesky_upper(b)
     # two-sided triangular solve with sharded operands; XLA partitions
     # the blocked solves and inserts ICI collectives

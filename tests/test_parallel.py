@@ -62,3 +62,20 @@ def test_sygvdx_batched_sharded_dp():
     for k in range(batch):
         w_ref = scipy.linalg.eigh(a[k], b[k], eigvals_only=True)
         assert np.allclose(np.asarray(w)[k], w_ref[:4], atol=1e-11)
+
+
+def test_sygvdx_sharded_uplo_contract():
+    """Sharded driver honors UPLO='U' like the unsharded one (advisor
+    finding: garbage in the lower triangle changed the sharded result)."""
+    from eigensolver_gpu_tpu.parallel import make_mesh, sygvdx_sharded
+
+    n, iu = 64, 12
+    a, b = random_spd_pair(n, seed=123)
+    mesh = make_mesh(4)
+    w0, z0, info0 = sygvdx_sharded(a, b, mesh, il=1, iu=iu)
+    rng = np.random.default_rng(124)
+    trash = lambda x: x + np.tril(rng.standard_normal((n, n)), -1) * 1e3
+    w1, z1, info1 = sygvdx_sharded(trash(a), trash(b), mesh, il=1, iu=iu)
+    assert int(info1) == 0
+    assert np.allclose(np.asarray(w1), np.asarray(w0), atol=1e-11 * n)
+    assert np.allclose(np.abs(np.asarray(z1)), np.abs(np.asarray(z0)), atol=1e-9 * n)

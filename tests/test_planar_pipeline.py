@@ -145,3 +145,30 @@ def test_hetrd_planar_pallas_path():
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.abs(np.asarray(e0)), np.abs(np.asarray(e1)),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_zhegvdx_planar_uplo_contract():
+    """UPLO='U': garbage in the strict lower triangles must not change
+    the result (advisor finding: the planar driver previously read the
+    full matrix and returned NaN with info=0)."""
+    n, iu = 64, 12
+    a, b = random_hpd_pair(n, seed=97)
+    w0, zr0, zi0, info0 = zhegvdx_planar_host(a, b, il=1, iu=iu)
+    rng = np.random.default_rng(98)
+    trash = lambda x: x + np.tril(
+        rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)), -1
+    ) * 1e3
+    w1, zr1, zi1, info1 = zhegvdx_planar_host(trash(a), trash(b), il=1, iu=iu)
+    assert int(info1) == 0
+    assert np.allclose(np.asarray(w1), np.asarray(w0), atol=1e-11 * n)
+    assert np.allclose(np.abs(np.asarray(zr1) + 1j * np.asarray(zi1)),
+                       np.abs(np.asarray(zr0) + 1j * np.asarray(zi0)),
+                       atol=1e-9 * n)
+
+
+def test_zhegvdx_planar_range_validation():
+    n = 32
+    a, b = random_hpd_pair(n, seed=99)
+    for il, iu in [(0, 8), (5, 4), (1, n + 1), (-1, 8)]:
+        with pytest.raises(ValueError):
+            zhegvdx_planar_host(a, b, il=il, iu=iu)
