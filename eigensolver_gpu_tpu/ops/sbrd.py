@@ -1,25 +1,23 @@
 """Successive band reduction, stage 1: dense symmetric -> banded.
 
-Round-2 foundation (ROADMAP item 2, docs/DESIGN_NOTES_R2.md): the
-one-stage tridiagonalization's bottleneck is an O(n^2)-traffic matvec
-serialized once per column (RESULTS.md). Reducing first to a band of
-width ``b`` costs only O(n b) traffic per sequential column step -- all
-the O(n^3) work moves into per-panel two-sided WY gemm updates on the
-MXU. Stage 2 (band -> tridiagonal bulge chasing) is future work; until
-it lands this op is exercised by tests only.
+First stage of the two-stage tridiagonalization (stage 2 = bulge chasing
+in ops/sb2st.py). Re-designs the role of the reference's one-stage
+blocked Householder loop (dsytrd_gpu.F90:61-163): the one-stage scheme
+pays an O(n^2)-traffic matvec serialized once per column; reducing first
+to a band of width ``b`` moves all O(n^3) work into per-panel two-sided
+compact-WY gemm updates on the MXU, leaving only O(n b) traffic per
+sequential column step.
 
 Convention (matches ops/sytrd.py): UPLO='U' processed from the last
-column backward, so the active submatrix is always the leading
-principal block (static prefix shapes). Panel columns are eliminated
-with QL-style Householder reflectors: for panel [pend-b, pend), the
-reflector block zeroes rows [0, pend-2b) of those columns, leaving a
-b-band coupling block. Two-sided update via compact WY.
+column backward, so the active submatrix is always the leading principal
+block. Panel columns are eliminated with QL-style Householder
+reflectors; the two-sided update uses the symmetric W-form. The loop is
+a bucketed `lax.fori_loop` (one traced panel body per size bucket, like
+ops/sytrd.py), so compile time is bounded regardless of n.
 
-Returns (ab, q) with ``ab`` the banded matrix (full storage, entries
-outside the band zero) and ``q`` the accumulated orthogonal transform,
-A = Q AB Q^H. (Accumulating dense Q costs an extra O(n^3) of gemms; the
-round-2 integration will instead apply the WY blocks directly to the
-selected eigenvectors.)
+Returns the banded matrix plus the per-panel (V, T) factors;
+``apply_q1`` replays them onto eigenvector columns (Z = Q1 * y) as
+3 gemms per panel -- the dense Q of the round-1 version is gone.
 """
 
 from __future__ import annotations
@@ -35,24 +33,18 @@ from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
 def _ql_panel(p, rows_below):
-    """QL factorization of the (m x b) panel ``p``: b reflectors, each
-    zeroing rows [0, k_top) of its column, pivot at row k_top-ish.
-
-    Column j of the panel (processed from the LAST column backward)
-    eliminates rows [0, rows_below + j) ... here simplified: column j
-    (j = b-1 .. 0) zeroes rows [0, top_j) where top_j = rows_below + j,
-    pivot at row top_j. Returns (v (m x b), tau (b,), r_panel (m x b))
-    with v[:, j] the reflector (1 at its pivot row, zeros below pivot+1
-    ... above in QL orientation).
-    """
+    """QL factorization of the (m x b) panel ``p`` (rows at/after the
+    pivot band are preserved untouched): b reflectors, column j
+    (processed last to first) zeroing rows [0, rows_below + j) with its
+    pivot at row rows_below + j. Returns (r_panel, v (m x b), tau (b,))."""
     m, b = p.shape
     dt = p.dtype
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0).squeeze(-1)
 
     def col_step(k, carry):
         p, v_p, tau = carry
-        j = b - 1 - k  # column processed (from last to first)
-        top = rows_below + j  # pivot row; rows [0, top) eliminated
+        j = b - 1 - k
+        top = rows_below + j
         col = lax.dynamic_slice(p, (0, j), (m, 1))[:, 0]
         mask_above = rows < top
         x = jnp.where(mask_above, col, 0.0)
@@ -66,12 +58,10 @@ def _ql_panel(p, rows_below):
         denom = jnp.where(trivial, 1.0, alpha - beta)
         v = jnp.where(mask_above, x / denom, 0.0)
         v = jnp.where((rows == top) & ~trivial, 1.0, v)
-        # apply H = I - tau v v^T to the remaining panel columns (< j)
-        vp = v @ p  # (b,)
+        vp = v @ p
         upd = tau_k * v[:, None] * vp[None, :]
         colmask = (lax.broadcasted_iota(jnp.int32, (1, b), 1)[0] < j)[None, :]
         p = p - jnp.where(colmask, upd, 0.0)
-        # store the eliminated column: beta at pivot, zeros above
         newcol = jnp.where(mask_above, 0.0, col)
         newcol = jnp.where((rows == top) & ~trivial, beta, newcol)
         p = lax.dynamic_update_slice(p, newcol[:, None], (0, j))
@@ -85,8 +75,7 @@ def _ql_panel(p, rows_below):
 
 
 def _larft_forward(v, tau):
-    """T with H(0) H(1) ... H(b-1) = I - V T V^T (forward product order:
-    appending H_new on the RIGHT adds column  -tau T (V^T v_new)."""
+    """T with H(0) H(1) ... H(b-1) = I - V T V^T (forward product order)."""
     b = v.shape[1]
     dt = v.dtype
     m = v.T @ v
@@ -102,42 +91,87 @@ def _larft_forward(v, tau):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("band",))
-def sbrd(a, band=32):
+@functools.partial(jax.jit, static_argnames=("band", "bucket"))
+def sbrd(a, band=32, bucket=512):
     """Reduce symmetric ``a`` to a symmetric band matrix of half-width
-    ``band``. Returns (ab, q), a = q @ ab @ q.T. Requires n % band == 0
-    and n >= 3*band."""
+    ``band``. Returns (ab, vs, ts): the banded matrix (full storage,
+    entries outside the band zero) and the per-panel WY factors with
+    a = Q1 ab Q1^T, Q1 = apply_q1(vs, ts, I). Requires n % band == 0 and
+    n >= 3*band."""
     n = a.shape[0]
     b = band
     if n % b != 0 or n < 3 * b:
         raise ValueError(f"sbrd requires n % band == 0 and n >= 3*band, got {n}, {b}")
+    dt = a.dtype
     a = (a + a.T) / 2
-    q = jnp.eye(n, dtype=a.dtype)
+    npanels_total = n // b - 1  # pend = n, n-b, ..., 2b
+    vs = jnp.zeros((npanels_total, n, b), dt)
+    ts = jnp.zeros((npanels_total, b, b), dt)
 
     with trace_range("sbrd"):
-        # panels from the last column block; panel [pend-b, pend) couples
-        # to rows [0, pend-b); eliminate rows [0, pend-2b) -- the last
-        # panel (pend = 2b) eliminates a ragged triangle (top_j = j)
-        for pend in range(n, b, -b):
-            mrows = pend - b  # rows 0..mrows of the panel block
-            panel = a[:mrows, pend - b : pend]
-            pfac, v, tau = _ql_panel(panel, mrows - b)
-            t = _larft_forward(v, tau)
-            # two-sided update of the leading block: A <- N A N^T with
-            # N = H_0 H_1 ... H_{b-1} = I - V T V^T (the order the panel
-            # loop applied them), via the symmetric W-form:
-            #   Y = A V T^T,  S = T (V^T Y)  (symmetric),
-            #   W = Y - 1/2 V S,  A <- A - V W^T - W V^T
-            at = a[:mrows, :mrows]
-            y = at @ (v @ t.T)
-            s = t @ (v.T @ y)
-            w = y - 0.5 * (v @ s)
-            at = at - v @ w.T - w @ v.T
-            a = a.at[:mrows, :mrows].set((at + at.T) / 2)
-            a = a.at[:mrows, pend - b : pend].set(pfac)
-            a = a.at[pend - b : pend, :mrows].set(pfac.T)
-            # accumulate Q <- Q N^T (dense for now; round-2 applies the
-            # WY blocks directly to the selected eigenvectors instead)
-            qcols = q[:, :mrows]
-            q = q.at[:, :mrows].set(qcols - ((qcols @ v) @ t.T) @ v.T)
-        return a, q
+        # bucket by the panel's pend (static slice bound per bucket)
+        bounds = []
+        hi = n
+        while hi > b:
+            lo = max(hi - bucket, b)
+            bounds.append((hi, lo))
+            hi = lo
+        pidx_start = 0
+        for hi, lo in bounds:
+            mbound = hi  # pend <= hi in this bucket
+            npan = (hi - lo) // b
+            a_mb = a[:mbound, :mbound]
+            rows = lax.broadcasted_iota(jnp.int32, (mbound, 1), 0).squeeze(-1)
+
+            def panel_step(p, carry, mbound=mbound, hi=hi, rows=rows,
+                           pidx_start=pidx_start):
+                a_mb, vs, ts = carry
+                pend = hi - p * b
+                mrows = pend - b
+                panel = lax.dynamic_slice(a_mb, (0, pend - b), (mbound, b))
+                pfac, v, tau = _ql_panel(panel, mrows - b)
+                # zero reflector rows at/after mrows (the QL masks keep
+                # them zero already except the pivot row convention)
+                v = jnp.where((rows < mrows)[:, None], v, 0.0)
+                t = _larft_forward(v, tau)
+                # two-sided A <- N A N^T, N = I - V T V^T, via the
+                # symmetric W-form: Y = A V T^T, S = T (V^T Y),
+                # W = Y - 1/2 V S, A <- A - V W^T - W V^T
+                y = a_mb @ (v @ t.T)
+                s = t @ (v.T @ y)
+                w = y - 0.5 * (v @ s)
+                w = jnp.where((rows < mrows)[:, None], w, 0.0)
+                a_mb = a_mb - v @ w.T - w @ v.T
+                # write the factored panel and its transpose
+                a_mb = lax.dynamic_update_slice(a_mb, pfac, (0, pend - b))
+                pf_t = jnp.swapaxes(pfac, 0, 1)
+                a_mb = lax.dynamic_update_slice(a_mb, pf_t, (pend - b, 0))
+                vpad = jnp.zeros((n, b), dt)
+                vpad = lax.dynamic_update_slice(vpad, v, (0, 0))
+                vs = lax.dynamic_update_slice(
+                    vs, vpad[None], (pidx_start + p, 0, 0)
+                )
+                ts = lax.dynamic_update_slice(ts, t[None], (pidx_start + p, 0, 0))
+                return a_mb, vs, ts
+
+            a_mb, vs, ts = lax.fori_loop(0, npan, panel_step, (a_mb, vs, ts))
+            a = lax.dynamic_update_slice(a, a_mb, (0, 0))
+            pidx_start += npan
+        return a, vs, ts
+
+
+@highest_precision
+@jax.jit
+def apply_q1(vs, ts, y):
+    """y <- Q1 y where a = Q1 ab Q1^T from sbrd: panels applied in
+    reverse processing order, y -= V T^T (V^T y) each."""
+    npanels = vs.shape[0]
+
+    def body(i, y):
+        p = npanels - 1 - i
+        v = vs[p]
+        t = ts[p]
+        return y - v @ (t.T @ (v.T @ y))
+
+    with trace_range("apply_q1"):
+        return lax.fori_loop(0, npanels, body, y)
