@@ -39,13 +39,54 @@ def _pad_decoupled(a, npad):
         return a
     bound = jnp.max(jnp.sum(jnp.abs(a), axis=1)).real + 1.0
     k = npad - n
-    padvals = bound * (2.0 + jnp.arange(k, dtype=bound.dtype))
+    # tight spacing: the pad values feed stedc's orgnrm scaling, and a
+    # bound*(2+arange) ramp inflated fp32 deflation thresholds enough to
+    # corrupt interior eigenvalues (distinctness only needs ~2^-8 steps)
+    padvals = bound * (2.0 + jnp.arange(k, dtype=bound.dtype) * (1.0 / 256.0))
     out = jnp.zeros((npad, npad), a.dtype)
     out = out.at[:n, :n].set(a)
     out = out.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(
         padvals.astype(a.dtype)
     )
     return out
+
+
+def _use_two_stage(n, cfg, iscomplex):
+    """Whether the two-stage SBR reduction (sbrd + bulge chase) replaces
+    the one-stage Householder loop. Complex inputs use the one-stage path
+    (the planar complex two-stage lives in the planar modules)."""
+    if iscomplex or cfg.tridiag_mode == "one":
+        return False
+    if cfg.tridiag_mode == "two":
+        return True
+    return n >= cfg.two_stage_min_n
+
+
+def _tridiag_reduce(a_p, cfg, two_stage):
+    """Reduce symmetric/Hermitian ``a_p`` (padded) to tridiagonal (d, e);
+    returns (d, e, back) with ``back(z)`` applying the accumulated
+    orthogonal transform Q to tridiagonal eigenvector columns z."""
+    if two_stage:
+        from eigensolver_gpu_tpu.ops.sb2st import apply_q2, bulge_chase, dense_to_band
+        from eigensolver_gpu_tpu.ops.sbrd import apply_q1, sbrd
+
+        npad = a_p.shape[0]
+        ab, vs, ts = sbrd(a_p, band=cfg.band, bucket=512)
+        d, e, vt, taut = bulge_chase(dense_to_band(ab, cfg.band), cfg.band)
+
+        def back(z):
+            return apply_q1(vs, ts, apply_q2(vt, taut, z, npad, cfg.band))
+
+        return d, e, back
+
+    a_packed, d, e, tau = sytrd(
+        a_p, nb=cfg.nb_tridiag, bucket=256, use_pallas=cfg.use_pallas
+    )
+
+    def back(z):
+        return unmtr(a_packed, tau, z, nb=cfg.nb_back)
+
+    return d, e, back
 
 
 @highest_precision
@@ -65,8 +106,13 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
             w, z = jnp.linalg.eigh(a)
             return w[il - 1 : iu], z[:, il - 1 : iu]
 
-    nb = cfg.nb_tridiag
+    two_stage = _use_two_stage(n, cfg, iscomplex)
+    nb = cfg.band if two_stage else cfg.nb_tridiag
     npad = -(-n // nb) * nb
+    if two_stage and npad < 3 * cfg.band:
+        two_stage = False
+        nb = cfg.nb_tridiag
+        npad = -(-n // nb) * nb
 
     mixed = (
         cfg.compute_dtype == "float32"
@@ -82,10 +128,10 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         lo_dt = jnp.complex64 if iscomplex else jnp.float32
         a_p = _pad_decoupled(a.astype(lo_dt), npad)
         with trace_range("syevdx_fp32"):
-            a_packed, d, e, tau = sytrd(a_p, nb=nb, bucket=256, use_pallas=cfg.use_pallas)
+            d, e, back = _tridiag_reduce(a_p, cfg, two_stage)
             w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
             z_tri = q_tri.astype(lo_dt) if iscomplex else q_tri
-            x32 = unmtr(a_packed, tau, z_tri[:, :n], nb=cfg.nb_back)[:n]
+            x32 = back(z_tri[:, :n])[:n]
         w, x = refine_eigh(
             a, x32.astype(a.dtype), sweeps=cfg.refine_iters,
             chunk=2048 if n >= 8192 else None,
@@ -97,7 +143,7 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
 
     a_p = _pad_decoupled(a, npad)
     with trace_range("syevdx"):
-        a_packed, d, e, tau = sytrd(a_p, nb=nb, bucket=256, use_pallas=cfg.use_pallas)
+        d, e, back = _tridiag_reduce(a_p, cfg, two_stage)
         w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
         # stedc pads internally and returns npad pairs sorted ascending;
         # our decoupled padding sorts above the true spectrum, so indices
@@ -106,5 +152,5 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         z_tri = q_tri[:, il - 1 : iu]
         if iscomplex:
             z_tri = z_tri.astype(a.dtype)
-        z = unmtr(a_packed, tau, z_tri, nb=cfg.nb_back)
+        z = back(z_tri)
         return w, z[:n]

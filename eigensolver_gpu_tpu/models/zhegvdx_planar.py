@@ -62,7 +62,9 @@ def _pad_planar(ar, ai, npad):
         return ar, ai
     bound = jnp.max(jnp.sum(jnp.sqrt(ar * ar + ai * ai), axis=1)) + 1.0
     k = npad - n
-    padvals = bound * (2.0 + jnp.arange(k, dtype=ar.dtype))
+    # tight spacing (see models/syevdx._pad_decoupled): wide ramps
+    # inflate stedc's fp32 deflation thresholds via orgnrm scaling
+    padvals = bound * (2.0 + jnp.arange(k, dtype=ar.dtype) * (1.0 / 256.0))
     out_r = jnp.zeros((npad, npad), ar.dtype)
     out_r = out_r.at[:n, :n].set(ar)
     out_r = out_r.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(padvals)

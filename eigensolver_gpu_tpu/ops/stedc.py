@@ -267,7 +267,12 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi"):
         npad = leaf * (1 << levels)
         nblk = npad // leaf
         pad = npad - n
-        pad_vals = 4.0 + jnp.arange(pad, dtype=dt)
+        # distinct decoupled values just above the scaled spectrum
+        # (Gershgorin of T/scale <= 3). Tight spacing matters: these
+        # values enter gap_scale and the deflation tolerance, and a
+        # 4+arange ramp once inflated fp32 thresholds ~10x per 40 pad
+        # entries, visibly corrupting interior eigenvalues.
+        pad_vals = 4.0 + jnp.arange(pad, dtype=dt) * (1.0 / 1024.0)
         dp_full = jnp.concatenate([d, pad_vals])
         e_full = jnp.concatenate([e, jnp.zeros((npad - 1 - (n - 1),), dt)])
         if pad > 0:

@@ -38,6 +38,15 @@ class SolverConfig:
         (BASELINE.md config 5 fast path).
       refine_iters: Rayleigh-quotient refinement sweeps applied when
         compute_dtype is lower precision than the I/O dtype.
+      tridiag_mode: 'one' = blocked one-stage Householder (ops/sytrd.py,
+        the reference's dsytrd_gpu.F90 role); 'two' = two-stage SBR
+        (dense -> band via ops/sbrd.py, band -> tridiagonal bulge chase
+        via ops/sb2st.py) which moves the O(n^3) flops into panel gemms;
+        'auto' = 'two' for real matrices with n >= two_stage_min_n.
+      band: stage-1 band half-width for the two-stage reduction.
+      two_stage_min_n: 'auto' switches to the two-stage reduction at
+        this matrix size (below it the one-stage loop's lower constant
+        wins).
     """
 
     nb_sygst: int = 512
@@ -49,14 +58,21 @@ class SolverConfig:
     compute_dtype: Optional[str] = None
     refine_iters: int = 2
     use_pallas: bool = False
+    tridiag_mode: str = "auto"
+    band: int = 32
+    two_stage_min_n: int = 2048
 
     def __post_init__(self):
         if self.stedc_backend not in ("dc", "xla"):
             raise ValueError(f"unknown stedc_backend {self.stedc_backend!r}")
         if self.sygst_mode not in ("blocked", "full"):
             raise ValueError(f"unknown sygst_mode {self.sygst_mode!r}")
+        if self.tridiag_mode not in ("one", "two", "auto"):
+            raise ValueError(f"unknown tridiag_mode {self.tridiag_mode!r}")
         if self.nb_tridiag < 1 or self.nb_back < 1 or self.nb_sygst < 1:
             raise ValueError("block sizes must be positive")
+        if self.band < 2:
+            raise ValueError("band must be >= 2")
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -88,3 +88,48 @@ def test_padding_path():
     w, z, info = dsygvdx(a, b, il=2, iu=30)
     assert int(info) == 0
     _check_generalized(a, b, w, z, 2, 30)
+
+
+CFG_TWO = SolverConfig(tridiag_mode="two")
+CFG_TWO_MP = SolverConfig(tridiag_mode="two", compute_dtype="float32", refine_iters=2)
+
+
+@pytest.mark.parametrize("n,il,iu", [(128, 1, 128), (200, 5, 60)])
+def test_dsygvdx_two_stage(n, il, iu):
+    """Generalized driver through the two-stage reduction
+    (sbrd + bulge chase + Q1 Q2 replay) instead of the one-stage loop."""
+    a, b = random_spd_pair(n, seed=16)
+    w, z, info = dsygvdx(a, b, il=il, iu=iu, cfg=CFG_TWO)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, il, iu)
+
+
+def test_syevdx_two_stage_mixed():
+    """Two-stage reduction on the fp32+refinement path."""
+    n = 160
+    a, _ = random_spd_pair(n, seed=17)
+    w, z = syevdx(a, il=1, iu=40, cfg=CFG_TWO_MP)
+    w_ref = np.linalg.eigvalsh(a)[:40]
+    assert compare_values(np.asarray(w), w_ref) < 1e-11
+    res = np.max(np.abs(a @ np.asarray(z) - np.asarray(z) * np.asarray(w)[None, :]))
+    assert res < 1e-12 * n * max(1.0, np.max(np.abs(w_ref)))
+
+
+@pytest.mark.parametrize("mode", ["one", "two"])
+def test_syevdx_mixed_padded_spectrum_regression(mode):
+    """Regression: n=200 pads to 224 (driver) and 256 (stedc-internal).
+    Wide-ramp decoupled pad values once inflated the fp32 deflation and
+    pole-separation thresholds via orgnrm/gap_scale, corrupting interior
+    eigenvalues by O(1) while info stayed 0."""
+    n = 200
+    rng = np.random.default_rng(18)
+    t = rng.standard_normal((n, n))
+    a = (t + t.T) / 2
+    cfg = SolverConfig(
+        tridiag_mode=mode, compute_dtype="float32", refine_iters=2
+    )
+    w, z = syevdx(a, cfg=cfg)
+    w_ref = np.linalg.eigvalsh(a)
+    assert np.abs(np.asarray(w) - w_ref).max() < 1e-11 * n
+    res = np.max(np.abs(a @ np.asarray(z) - np.asarray(z) * np.asarray(w)[None, :]))
+    assert res < 1e-12 * n * np.max(np.abs(w_ref))
