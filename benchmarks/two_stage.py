@@ -12,6 +12,8 @@ Usage: python benchmarks/two_stage.py [n] [dtype] [m]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

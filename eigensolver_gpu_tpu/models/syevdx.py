@@ -51,15 +51,25 @@ def _pad_decoupled(a, npad):
     return out
 
 
-def _use_two_stage(n, cfg, iscomplex):
+def _use_two_stage(n, cfg, iscomplex, compute_is_f64):
     """Whether the two-stage SBR reduction (sbrd + bulge chase) replaces
     the one-stage Householder loop. Complex inputs use the one-stage path
-    (the planar complex two-stage lives in the planar modules)."""
+    (the planar complex pipeline has its own fused panel kernel).
+
+    Measured on the target chip (benchmarks/two_stage.py): in fp32 the
+    one-stage compiled loop wins at every size (n=4096: 184 ms vs
+    1.5 s -- the bulge chase's ~3n sequential steps pay ~100 us of
+    per-step op overhead each). In emulated fp64 the one-stage loop is
+    ALU-bound (n=2048: 1 970 ms) and roughly doubles per doubling of n,
+    while the two-stage total grows slower (n=2048: 3 115 ms, dominated
+    by the chase whose step cost is size-independent) -- the crossover
+    is near n=4096, so 'auto' switches only for fp64 compute there.
+    """
     if iscomplex or cfg.tridiag_mode == "one":
         return False
     if cfg.tridiag_mode == "two":
         return True
-    return n >= cfg.two_stage_min_n
+    return compute_is_f64 and n >= cfg.two_stage_min_n
 
 
 def _tridiag_reduce(a_p, cfg, two_stage):
@@ -106,7 +116,9 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
             w, z = jnp.linalg.eigh(a)
             return w[il - 1 : iu], z[:, il - 1 : iu]
 
-    two_stage = _use_two_stage(n, cfg, iscomplex)
+    is64 = jnp.finfo(jnp.zeros((), a.dtype).real.dtype).bits == 64
+    mixed = cfg.compute_dtype == "float32" and is64
+    two_stage = _use_two_stage(n, cfg, iscomplex, is64 and not mixed)
     nb = cfg.band if two_stage else cfg.nb_tridiag
     npad = -(-n // nb) * nb
     if two_stage and npad < 3 * cfg.band:
@@ -114,10 +126,6 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         nb = cfg.nb_tridiag
         npad = -(-n // nb) * nb
 
-    mixed = (
-        cfg.compute_dtype == "float32"
-        and jnp.finfo(jnp.zeros((), a.dtype).real.dtype).bits == 64
-    )
     if mixed:
         # BASELINE.md config-5 fast path: O(n^3) factorization stages in
         # fp32 on the MXU, then Ogita-Aishima sweeps against the fp64

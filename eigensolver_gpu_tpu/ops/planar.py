@@ -285,12 +285,20 @@ def ptrsm_left_upper(u, b, nb=128):
 
 
 def _pchol_base(ar, ai, nb):
-    """Unblocked planar Cholesky of an nb x nb HPD block (lower)."""
+    """Unblocked planar Cholesky of an nb x nb HPD block (lower).
+
+    Returns (lr, li, fail) with ``fail`` the 1-based index of the first
+    non-positive/NaN pivot encountered (0 if none) -- negative pivots
+    are clamped to tiny so the factorization stays finite, and the
+    caller maps ``fail`` to a global devInfo column index."""
     cols = lax.broadcasted_iota(jnp.int32, (nb, 1), 1 if False else 0).squeeze(-1)
 
     def body(j, c):
-        cr, ci = c
-        dj = jnp.sqrt(jnp.maximum(cr[j, j], jnp.finfo(cr.dtype).tiny))
+        cr, ci, fail = c
+        pivot = cr[j, j]
+        badj = (pivot <= 0) | jnp.isnan(pivot)
+        fail = jnp.where(badj & (fail == 0), jnp.int32(j + 1), fail)
+        dj = jnp.sqrt(jnp.maximum(pivot, jnp.finfo(cr.dtype).tiny))
         col_r = cr[:, j] / dj
         col_i = ci[:, j] / dj
         below = cols > j
@@ -304,14 +312,14 @@ def _pchol_base(ar, ai, nb):
         ci = jnp.where(keep, ci - upd_i, ci)
         cr = lax.dynamic_update_slice(cr, col_r[:, None], (0, j))
         ci = lax.dynamic_update_slice(ci, col_i[:, None], (0, j))
-        return cr, ci
+        return cr, ci, fail
 
-    lr, li = lax.fori_loop(0, nb, body, (ar, ai))
+    lr, li, fail = lax.fori_loop(0, nb, body, (ar, ai, jnp.int32(0)))
     tril = (
         lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
         >= lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     )
-    return jnp.where(tril, lr, 0.0), jnp.where(tril, li, 0.0)
+    return jnp.where(tril, lr, 0.0), jnp.where(tril, li, 0.0), fail
 
 
 @highest_precision
@@ -319,8 +327,9 @@ def _pchol_base(ar, ai, nb):
 def pcholesky_lower(b, nb=128):
     """Planar Cholesky B = L L^H (left-looking, fixed shapes).
 
-    Returns (L, info) with info > 0 if a pivot was not positive
-    (cuSOLVER devInfo analogue, zhegvdx_gpu.F90:136-142).
+    Returns (L, info) with info the 1-based global column index of the
+    first non-positive pivot, 0 on success (cuSOLVER devInfo semantics,
+    checked by the reference at zhegvdx_gpu.F90:136-142).
     """
     br, bi = b
     n = br.shape[0]
@@ -330,7 +339,7 @@ def pcholesky_lower(b, nb=128):
     rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
     def body(k, carry):
-        lr, li, bad = carry
+        lr, li, fail = carry
         k0 = k * nb
         # panel = B[:, k-block] - L[:, :k0] @ L[k-block, :k0]^H
         lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, n))
@@ -347,10 +356,11 @@ def pcholesky_lower(b, nb=128):
         pan_i = lax.dynamic_slice(bi, (0, k0), (n, nb)) - corr_i
         diag_r = lax.dynamic_slice(pan_r, (k0, 0), (nb, nb))
         diag_i = lax.dynamic_slice(pan_i, (k0, 0), (nb, nb))
-        bad = bad | (jnp.min(jnp.diagonal(diag_r)) <= 0) | jnp.any(
-            jnp.isnan(diag_r)
+        ld_r, ld_i, blk_fail = _pchol_base(diag_r, diag_i, nb)
+        # devInfo semantics: 1-based global column of the FIRST bad pivot
+        fail = jnp.where(
+            (fail == 0) & (blk_fail > 0), jnp.int32(k0) + blk_fail, fail
         )
-        ld_r, ld_i = _pchol_base(diag_r, diag_i, nb)
         # subdiagonal panel: X L_d^H = pan  =>  L_d conj(X^T) = conj(pan^T)
         sub_r, sub_i = _fsub_base(
             ld_r, ld_i, pan_r.T, -pan_i.T, nb
@@ -364,10 +374,9 @@ def pcholesky_lower(b, nb=128):
         blk_i = lax.dynamic_update_slice(blk_i, ld_i, (k0, 0))
         lr = lax.dynamic_update_slice(lr, blk_r, (0, k0))
         li = lax.dynamic_update_slice(li, blk_i, (0, k0))
-        return lr, li, bad
+        return lr, li, fail
 
     lr0 = jnp.zeros_like(br)
     li0 = jnp.zeros_like(bi)
-    lr, li, bad = lax.fori_loop(0, nblocks, body, (lr0, li0, jnp.bool_(False)))
-    info = jnp.where(bad, jnp.int32(1), jnp.int32(0))
-    return (lr, li), info
+    lr, li, fail = lax.fori_loop(0, nblocks, body, (lr0, li0, jnp.int32(0)))
+    return (lr, li), fail

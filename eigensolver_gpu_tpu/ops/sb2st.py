@@ -86,52 +86,48 @@ def _larfg_vec(x):
     return v, tau, beta
 
 
-def _shear_indices(b):
-    """Static numpy index maps between the (2b, 2b) band strip and the
-    dense window blocks (Lb, D, Db); see module docstring geometry.
+def _skew_to_window(sb, b):
+    """Band strips -> dense lower-trapezoid windows, gather-free.
 
-    Strip row j in [0, 2b) is band column r0-b+j; strip col d is the
-    d-th lower diagonal. Window blocks (local p, q in [0, b)):
-      Lb[p, q] = A[r0+p,   r0-b+q] = strip[q,     b+p-q]
-      D [p, q] = A[r0+p,   r0+q  ] = strip[b+q,   p-q  ]   (p >= q)
-      Db[p, q] = A[r0+b+p, r0+q  ] = strip[b+q,   b+p-q]
+    ``sb`` is (S, 2b, 2b) with sb[s, q, d] = A[j0+q+d, j0+q] (band rows
+    j0 = r0-b .. r0+b of slot s). Returns W (S, 3b, 2b) with
+    W[s, p, q] = A[j0+p, j0+q] for 0 <= p-q < 2b, 0 elsewhere.
+
+    The skew is the classic pad/flatten/reshape stride trick: padding
+    each row to width 3b+1 makes flat index q*(3b+1)+d equal
+    q*3b + (q+d), so a reshape with row stride 3b realigns diagonals to
+    matrix rows. Pure reshapes -- no gather (TPU gathers measured ~40x
+    slower than this path in the chase loop).
     """
-    p = np.arange(b)[:, None]
-    q = np.arange(b)[None, :]
-    lb_row = np.broadcast_to(q, (b, b))
-    lb_d = b + p - q  # in [1, 2b-1]
-    d_row = b + np.broadcast_to(q, (b, b))
-    d_d = np.clip(p - q, 0, 2 * b - 1)  # valid where p >= q
-    db_row = d_row
-    db_d = b + p - q
-    return (lb_row, lb_d), (d_row, d_d), (db_row, db_d)
+    s, w, _ = sb.shape
+    t3 = 3 * b
+    pad = jnp.zeros((s, w, t3 + 1 - w), sb.dtype)
+    flat = jnp.concatenate([sb, pad], axis=2).reshape(s, w * (t3 + 1))
+    lt = flat[:, : w * t3].reshape(s, w, t3)  # lt[s, q, p] = sb[s, q, p-q]
+    wmat = jnp.swapaxes(lt, 1, 2)  # (S, 3b, 2b)
+    p = np.arange(t3)[:, None]
+    q = np.arange(w)[None, :]
+    valid = jnp.asarray((p >= q) & (p - q < w))
+    return jnp.where(valid[None], wmat, 0.0)
 
 
-def _strip_rebuild_indices(b):
-    """Static maps writing the updated window blocks back into strip
-    layout. For strip position (j, d):
-      j <  b: from Lb[d-b+j, j]        if 0 <= d-b+j < b, else keep
-      j >= b: from D[q+d, q] (q=j-b)   if d < b-q
-              from Db[d-b+q, q]        if b-q <= d < 2b-q, else keep
-    """
+def _window_to_skew(wd, b, sb_old):
+    """Inverse of _skew_to_window: dense windows (S, 3b, >=2b) back to
+    band strips (S, 2b, 2b); positions q+d >= 3b (outside the window)
+    keep ``sb_old``. Same stride trick, reversed."""
+    s = wd.shape[0]
     w = 2 * b
-    j = np.arange(w)[:, None]
-    d = np.arange(w)[None, :]
-    # top half (j < b): Lb[p=d-b+j, q=j]
-    top_p = d - b + j
-    top_valid = (j < b) & (top_p >= 0) & (top_p < b)
-    # bottom half (j >= b): q = j - b
-    q = j - b
-    bot_from_d = (j >= b) & (d < b - q) & (q + d < b) & (q >= 0)
-    bot_p_d = q + d
-    bot_from_db = (j >= b) & (d >= b - q) & (d - b + q >= 0) & (d - b + q < b)
-    bot_p_db = d - b + q
-    clip = lambda m: np.clip(m, 0, b - 1)
-    return (
-        (clip(top_p), np.clip(np.broadcast_to(j, (w, w)), 0, b - 1), top_valid),
-        (clip(bot_p_d), clip(q), bot_from_d),
-        (clip(bot_p_db), clip(q), bot_from_db),
+    t3 = 3 * b
+    lt = jnp.swapaxes(wd[:, :, :w], 1, 2)  # lt[s, q, p] = wd[s, p, q]
+    flat = lt.reshape(s, w * t3)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((s, w * (t3 + 1) - w * t3), wd.dtype)], axis=1
     )
+    ext = flat.reshape(s, w, t3 + 1)[:, :, :w]  # ext[s,q,d] = wd[s,q+d,q]
+    q = np.arange(w)[:, None]
+    d = np.arange(w)[None, :]
+    inwin = jnp.asarray(q + d < t3)
+    return jnp.where(inwin[None], ext, sb_old)
 
 
 @highest_precision
@@ -157,18 +153,12 @@ def bulge_chase(band, b):
     band_p = jnp.zeros((n + pad_f + pad_b, w), dtype)
     band_p = lax.dynamic_update_slice(band_p, band, (pad_f, 0))
 
-    (lb_r, lb_d), (d_r, d_d), (db_r, db_d) = _shear_indices(b)
-    reb = _strip_rebuild_indices(b)
-    lb_r = jnp.asarray(lb_r); lb_d = jnp.asarray(lb_d)
-    d_r = jnp.asarray(d_r); d_d = jnp.asarray(d_d)
-    db_r = jnp.asarray(db_r); db_d = jnp.asarray(db_d)
-    reb = [(jnp.asarray(p), jnp.asarray(qq), jnp.asarray(m)) for p, qq, m in reb]
-
     t3 = 3 * ((t_total + 2) // 3)
     vt = jnp.zeros((t3, s_slots, b), dtype)
     taut = jnp.zeros((t3, s_slots), dtype)
 
     svec = jnp.arange(s_slots)
+    eye3b = jnp.eye(3 * b, dtype=dtype)
 
     def step(t, carry):
         band_p, vt, taut = carry
@@ -185,42 +175,36 @@ def bulge_chase(band, b):
         ).reshape(s_slots, stride, w)
         strip = blk[:, : 2 * b, :]           # (S, 2b, 2b)
 
-        lb = strip[:, lb_r, lb_d]            # (S, b, b)
-        d_low = jnp.where((jnp.arange(b)[:, None] >= jnp.arange(b)[None, :])[None],
-                          strip[:, d_r, d_d], 0.0)
-        dmat = d_low + jnp.swapaxes(d_low, 1, 2) - (
-            d_low * jnp.eye(b, dtype=dtype)[None]
+        # dense symmetric windows Wd[s, p, q] = A[r0-b+p, r0-b+q]
+        # (3b x 3b; the [2b:, 2b:] corner is unused and stays 0)
+        wlow = _skew_to_window(strip, b)     # (S, 3b, 2b) lower trapezoid
+        wemb = jnp.concatenate(
+            [wlow, jnp.zeros((s_slots, 3 * b, b), dtype)], axis=2
         )
-        db = strip[:, db_r, db_d]
+        diag = jnp.einsum("spp->sp", wemb)
+        wd = wemb + jnp.swapaxes(wemb, 1, 2) - diag[:, :, None] * eye3b[None]
 
-        x = jnp.where((k_s == 0)[:, None], lb[:, :, b - 1], lb[:, :, 0])
+        # reflector source: rows [r0, r0+b) of column r0-1 (sweep start,
+        # k==0) or r0-b (in-chase); window coords rows [b, 2b)
+        x = jnp.where(
+            (k_s == 0)[:, None], wd[:, b : 2 * b, b - 1], wd[:, b : 2 * b, 0]
+        )
         v, tau, beta = _larfg_vec(x)
         tau = jnp.where(active, tau, 0.0)
 
-        # left-mult rows: Lb -= tau v (v^T Lb)
-        vl = jnp.einsum("sp,spq->sq", v, lb)
-        lb = lb - tau[:, None, None] * v[:, :, None] * vl[:, None, :]
-        # two-sided on the diagonal block
-        y = tau[:, None] * jnp.einsum("spq,sq->sp", dmat, v)
-        yv = jnp.einsum("sp,sp->s", y, v)
-        wvec = y - 0.5 * tau[:, None] * yv[:, None] * v
-        dmat = dmat - v[:, :, None] * wvec[:, None, :] - wvec[:, :, None] * v[:, None, :]
-        # right-mult cols: Db -= tau (Db v) v^T
-        dbv = jnp.einsum("spq,sq->sp", db, v)
-        db = db - tau[:, None, None] * dbv[:, :, None] * v[:, None, :]
+        # two-sided update H A H on the dense window, H = I - tau v v^T
+        # acting on window rows/cols [b, 2b): left then right.
+        rows = wd[:, b : 2 * b, :]
+        vtr = jnp.einsum("sp,spq->sq", v, rows)
+        rows = rows - tau[:, None, None] * v[:, :, None] * vtr[:, None, :]
+        wd = wd.at[:, b : 2 * b, :].set(rows)
+        cols = wd[:, :, b : 2 * b]
+        cv = jnp.einsum("spq,sq->sp", cols, v)
+        wd = wd.at[:, :, b : 2 * b].set(
+            cols - tau[:, None, None] * cv[:, :, None] * v[:, None, :]
+        )
 
-        # rebuild the strip from the updated blocks
-        (tp, tq, tm), (dp, dq, dm), (bp, bq, bm) = reb
-        new_top = lb[:, tp, tq]
-        new_bot = jnp.where(dm[None], dmat[:, dp, dq], 0.0) + jnp.where(
-            bm[None], db[:, bp, bq], 0.0
-        )
-        keep = ~(tm | dm | bm)
-        strip_new = (
-            jnp.where(tm[None], new_top, 0.0)
-            + new_bot
-            + jnp.where(keep[None], strip, 0.0)
-        )
+        strip_new = _window_to_skew(wd, b, strip)
         blk = blk.at[:, : 2 * b, :].set(strip_new)
         band_p = lax.dynamic_update_slice(
             band_p, blk.reshape(s_slots * stride, w), (start + pad_f, 0)
@@ -237,14 +221,46 @@ def bulge_chase(band, b):
     return d, e, vt, taut
 
 
+def _shift_rows(x, step, out_w):
+    """Y[..., i, j] = x[..., i, j + i*step], out-of-range reads 0.
+
+    The pad/flatten/reshape stride trick (see _skew_to_window): padding
+    rows to width w2 and reshaping the flat buffer with row stride
+    w2+step realigns row i by i*step. Requires -w2 < step. Pure
+    reshapes, no gather."""
+    *lead, r, w = x.shape
+    need = out_w + max(0, (r - 1) * step)
+    w2 = max(w, need, out_w - step + 1)
+    if w2 > w:
+        padw = [(0, 0)] * len(lead) + [(0, 0), (0, w2 - w)]
+        x = jnp.pad(x, padw)
+    flat = x.reshape(*lead, r * w2)
+    extra = r * (w2 + step) - r * w2
+    if extra > 0:
+        padf = [(0, 0)] * len(lead) + [(0, extra)]
+        flat = jnp.pad(flat, padf)
+    y = flat[..., : r * (w2 + step)].reshape(*lead, r, w2 + step)
+    return y[..., :out_w]
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("b", "g", "n"))
 def apply_q2(vt, taut, y, n, b, g=None):
     """y <- Q2 y where Q2 is the accumulated bulge-chase transform
     (band = Q2^T A_band Q2). y is (n, m); reflectors from bulge_chase.
 
-    Blocked replay: groups of g sweeps (descending), windows per chase
-    position (ascending), each window one compact-WY application."""
+    Wavefront-batched blocked replay: reflectors are grouped into
+    compact-WY windows of ``g`` consecutive sweeps per chase position
+    (window (j, k) covers sweeps [jg, jg+g) at chase hop k, rows
+    jg+1+kb .. +b+g-1). The sequential order (groups descending, k
+    ascending) is replaced by the wave schedule tau = 2*(G-1-j) + k:
+    every pair of row-overlapping windows keeps its sequential order
+    (|row-dist| < b+g-1 implies the tau order matches), and all windows
+    of one wave are disjoint and evenly spaced g+2b rows apart -- so a
+    wave is ONE contiguous slice of y, a batch of staircase-WY gemms,
+    and one write-back. ~(2n/g + n/b) waves instead of ~n^2/(gb)
+    sequential windows. All reflector repacking below is gather-free
+    (_shift_rows)."""
     if g is None:
         g = b
     t3, s_slots, _ = vt.shape
@@ -253,58 +269,99 @@ def apply_q2(vt, taut, y, n, b, g=None):
     kmax = max((n - 3) // b, 0)
     l_win = b + g - 1
     n_groups = -(-max(n - 2, 1) // g)
+    nv = max(n - 2, 1)  # sweeps v in [0, n-3]
 
-    # zero-pad the timestep axis: edge windows index past the last
-    # timestep and lax.dynamic_slice would CLAMP the start (silently
-    # reading reflectors of other sweeps) -- padding keeps them no-ops.
-    pad_t = g + kmax // 3 + 3
-    vt4 = jnp.concatenate(
-        [vt.reshape(t3 // 3, 3, s_slots, b),
-         jnp.zeros((pad_t, 3, s_slots, b), dtype)], axis=0
-    )
-    taut3 = jnp.concatenate(
-        [taut.reshape(t3 // 3, 3, s_slots),
-         jnp.zeros((pad_t, 3, s_slots), dtype)], axis=0
-    )
+    with trace_range("apply_q2_repack"):
+        # --- repack vt[t, s] -> V2[k, v]: reflector (v, k) lives at
+        # t = 3v+k, s = k//3; for k = 3s+c, V2[3s+c, v] = vt[3(v+s)+c, s].
+        tcap = t3 // 3
+        need_t = nv + s_slots
+        vt4 = vt.reshape(tcap, 3, s_slots, b)
+        tt4 = taut.reshape(tcap, 3, s_slots)
+        if need_t > tcap:
+            vt4 = jnp.pad(vt4, ((0, need_t - tcap), (0, 0), (0, 0), (0, 0)))
+            tt4 = jnp.pad(tt4, ((0, need_t - tcap), (0, 0), (0, 0)))
+        # axes -> (c, s, t, b); per (c, s): row v reads t = v + s
+        vt_cs = jnp.transpose(vt4, (1, 2, 0, 3)).reshape(
+            3, s_slots, need_t * b
+        )
+        v_sk = _shift_rows(vt_cs, b, nv * b).reshape(3, s_slots, nv, b)
+        t_cs = jnp.transpose(tt4, (1, 2, 0))
+        t_sk = _shift_rows(t_cs, 1, nv)
+        # V2[k = 3s+c] : (s, c) row-major == 3s+c
+        v2 = jnp.transpose(v_sk, (1, 0, 2, 3)).reshape(3 * s_slots, nv, b)
+        t2 = jnp.transpose(t_sk, (1, 0, 2)).reshape(3 * s_slots, nv)
 
-    # pad y rows so every window slice is in-bounds
-    y_p = jnp.zeros((n + l_win + 3 * b, m), dtype)
-    y_p = lax.dynamic_update_slice(y_p, y, (0, 0))
+        # --- parity pre-skew: wave tau has k = P + 2u, group j = C + u
+        # (C = G-1 - (tau-P)/2), so slot u reads V2[P+2u, (C+u)g : +g].
+        # Shifting row u of the parity-split store left by u*g makes the
+        # whole wave one slice at column C*g (+front offset F).
+        kcap = 3 * s_slots
+        n_u = min(n_groups, (kmax + 2 + 1) // 2)  # slots per wave
+        f_off = (kmax // 2 + 2) * g  # front zeros: C*g can be negative
+        y_cols = f_off + n_groups * g + g
+        v4 = []
+        t4 = []
+        for p in (0, 1):
+            v2p = v2[p::2][:n_u] if v2[p::2].shape[0] >= n_u else jnp.pad(
+                v2[p::2], ((0, n_u - v2[p::2].shape[0]), (0, 0), (0, 0))
+            )
+            t2p = t2[p::2][:n_u] if t2[p::2].shape[0] >= n_u else jnp.pad(
+                t2[p::2], ((0, n_u - t2[p::2].shape[0]), (0, 0))
+            )
+            v2p = jnp.pad(v2p, ((0, 0), (f_off, 0), (0, 0)))
+            t2p = jnp.pad(t2p, ((0, 0), (f_off, 0)))
+            v4.append(
+                _shift_rows(
+                    v2p.reshape(n_u, (f_off + nv) * b), g * b, y_cols * b
+                ).reshape(n_u, y_cols, b)
+            )
+            t4.append(_shift_rows(t2p, g, y_cols))
+        v4 = jnp.stack(v4)  # (2, n_u, y_cols, b)
+        t4 = jnp.stack(t4)  # (2, n_u, y_cols)
 
-    srange = jnp.arange(g)
-    # static shear embedding V (g, b) -> Vw (L, g): Vw[s+i, s] = V[s, i]
-    rw = np.arange(b + g - 1)[:, None]
-    sw = np.arange(g)[None, :]
-    emb_i = np.clip(rw - sw, 0, b - 1)
-    emb_m = (rw >= sw) & (rw - sw < b)
-    emb_i = jnp.asarray(emb_i)
-    emb_m = jnp.asarray(emb_m)
+    # pad y rows: wave row base C*g + 1 + P*b can be negative (front)
+    # and the top wave reads past n (back)
+    fy = f_off + b + 1
+    span = n_u * (g + 2 * b)
+    y_p = jnp.zeros((fy + n + span + l_win, m), dtype)
+    y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))
+
+    n_waves = 2 * (n_groups - 1) + kmax + 1
     eye_g = jnp.eye(g, dtype=dtype)
 
-    def window(idx, y_p):
-        j = n_groups - 1 - idx // (kmax + 1)
-        k = idx % (kmax + 1)
-        v0 = j * g
-        # reflector (v0+s, k) lives at vt[3(v0+s)+k, k//3]
-        #   = vt4[v0+s+k//3, k%3, k//3]
+    def wave(tau, y_p):
+        par = tau % 2
+        c0 = n_groups - 1 - (tau - par) // 2
         vblk = lax.dynamic_slice(
-            vt4, (v0 + k // 3, k % 3, k // 3, 0), (g, 1, 1, b)
-        ).reshape(g, b)
+            v4, (par, 0, c0 * g + f_off, 0), (1, n_u, g, b)
+        ).reshape(n_u, g, b)
         taus = lax.dynamic_slice(
-            taut3, (v0 + k // 3, k % 3, k // 3), (g, 1, 1)
-        ).reshape(g)
+            t4, (par, 0, c0 * g + f_off), (1, n_u, g)
+        ).reshape(n_u, g)
         tsafe = jnp.where(taus == 0, 1.0, taus)
-        vw = jnp.where(emb_m, vblk[srange[None, :], emb_i], 0.0)  # (L, g)
-        vw = vw * (taus != 0)[None, :]
+        # staircase embedding vw[u, r, s] = vblk[u, s, r-s] (skew)
+        vw = jnp.swapaxes(
+            _shift_rows(jnp.pad(vblk, ((0, 0), (0, 0), (0, g))), -1, l_win),
+            1, 2,
+        )  # (n_u, l_win, g)
+        vw = vw * (taus != 0)[:, None, :]
 
-        base = v0 + 1 + k * b
-        yw = lax.dynamic_slice(y_p, (base, 0), (l_win, m))
-        tinv = jnp.triu(vw.T @ vw, 1) + jnp.diag(1.0 / tsafe)
-        u = vw.T @ yw
-        x = jax.scipy.linalg.solve_triangular(tinv, u, lower=False)
-        yw = yw - vw @ x
-        return lax.dynamic_update_slice(y_p, yw, (base, 0))
+        base = c0 * g + 1 + par * b + fy
+        yw_all = lax.dynamic_slice(y_p, (base, 0), (span, m)).reshape(
+            n_u, g + 2 * b, m
+        )
+        yw = yw_all[:, :l_win]
+        vtv = jnp.einsum("urs,urt->ust", vw, vw)
+        tinv = jnp.triu(vtv, 1) + eye_g[None] / tsafe[:, :, None]
+        u_m = jnp.einsum("urs,urm->usm", vw, yw)
+        x = jax.scipy.linalg.solve_triangular(tinv, u_m, lower=False)
+        yw = yw - jnp.einsum("urs,usm->urm", vw, x)
+        yw_all = yw_all.at[:, :l_win].set(yw)
+        return lax.dynamic_update_slice(
+            y_p, yw_all.reshape(span, m), (base, 0)
+        )
 
     with trace_range("apply_q2"):
-        y_p = lax.fori_loop(0, n_groups * (kmax + 1), window, y_p)
-    return lax.dynamic_slice(y_p, (0, 0), (n, m))
+        y_p = lax.fori_loop(0, n_waves, wave, y_p)
+    return lax.dynamic_slice(y_p, (fy, 0), (n, m))

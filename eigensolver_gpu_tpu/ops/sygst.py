@@ -43,43 +43,93 @@ def sygst_full(a, u):
 
 
 @highest_precision
-def sygst_blocked(a, u, nb=512):
+def sygst_blocked(a, u, nb=512, n_buckets=4):
     """Blocked LAPACK-style recurrence (dsygst_gpu.F90:50-96 shape).
 
-    Per block k (size kb): transform the diagonal block, then update the
+    Per block k (size nb): transform the diagonal block, then update the
     trailing panel with trsm -> gemm(-1/2) -> her2k -> gemm(-1/2) -> trsm.
-    Trace-unrolled (n/nb iterations of static shapes); XLA overlaps the
-    independent products the way the reference's stream2 lookahead does.
+
+    Compile-time is bounded for any n: blocks are grouped into at most
+    ``n_buckets`` contiguous buckets, each one traced `lax.fori_loop`
+    whose active region is the (static) bucket-start-to-end trailing
+    square; inside, trailing extents are handled by column masks and a
+    block-diagonal [I, U_tt] solve instead of dynamic shapes. (The round-1
+    version trace-unrolled n/nb block bodies -- 32 instances at n=16384
+    on a remote compiler with minutes-scale latency.)
     """
     n = a.shape[0]
+    dt = a.dtype
     a = (a + jnp.conjugate(a.T)) / 2
+    nblocks = -(-n // nb)
+    npad = nblocks * nb
+    if npad != n:
+        # zero-pad A, identity-pad U: padded coordinates stay decoupled
+        # and carry zeros through every update.
+        pad = npad - n
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        u = jnp.pad(u, ((0, pad), (0, pad)))
+        u = u.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+
     with trace_range("sygst_blocked"):
-        for k in range(0, n, nb):
-            kb = min(nb, n - k)
-            akk = a[k : k + kb, k : k + kb]
-            ukk = u[k : k + kb, k : k + kb]
-            # Diagonal block: U_kk^{-H} A_kk U_kk^{-1} (reference does two
-            # ztrsm on the kb x kb block, dsygst_gpu.F90:67-70).
-            akk = _tsolve(ukk, akk, left=True, trans=True)
-            akk = _tsolve(ukk, akk, left=False, trans=False)
-            akk = (akk + jnp.conjugate(akk.T)) / 2
-            a = a.at[k : k + kb, k : k + kb].set(akk)
-            if k + kb < n:
-                # Trailing panel update (dsygst_gpu.F90:76-93):
-                akt = a[k : k + kb, k + kb :]
-                ukt = u[k : k + kb, k + kb :]
-                utt = u[k + kb :, k + kb :]
+        per = -(-nblocks // n_buckets)  # blocks per bucket
+        starts = list(range(0, nblocks, per))
+        for s in starts:
+            lo = s * nb
+            m = npad - lo  # static within this bucket
+            aa = lax.dynamic_slice(a, (lo, lo), (m, m))
+            uu = lax.dynamic_slice(u, (lo, lo), (m, m))
+            cols = lax.broadcasted_iota(jnp.int32, (1, m), 1)[0]
+            eye_m = jnp.eye(m, dtype=dt)
+            nblk_here = min(per, nblocks - s)
+
+            def block_step(j, aa, uu=uu, cols=cols, eye_m=eye_m, m=m):
+                k = j * nb  # offset of this block inside aa
+                akk = lax.dynamic_slice(aa, (k, k), (nb, nb))
+                ukk = lax.dynamic_slice(uu, (k, k), (nb, nb))
+                # Diagonal block: U_kk^{-H} A_kk U_kk^{-1} (two ztrsm on
+                # the nb x nb block, dsygst_gpu.F90:67-70).
+                akk = _tsolve(ukk, akk, left=True, trans=True)
+                akk = _tsolve(ukk, akk, left=False, trans=False)
+                akk = (akk + jnp.conjugate(akk.T)) / 2
+
+                # Trailing panel update (dsygst_gpu.F90:76-93), full-width
+                # row strips with the leading columns masked off.
+                trail = cols >= k + nb  # (m,)
+                art = lax.dynamic_slice(aa, (k, 0), (nb, m))
+                urt = lax.dynamic_slice(uu, (k, 0), (nb, m))
+                zero = jnp.zeros((), dt)
+                akt = jnp.where(trail[None, :], art, zero)
+                ukt = jnp.where(trail[None, :], urt, zero)
                 akt = _tsolve(ukk, akt, left=True, trans=True)
                 akt = akt - 0.5 * akk @ ukt
-                att = a[k + kb :, k + kb :]
-                att = att - jnp.conjugate(akt.T) @ ukt - jnp.conjugate(ukt.T) @ akt
-                att = (att + jnp.conjugate(att.T)) / 2
-                a = a.at[k + kb :, k + kb :].set(att)
+                upd = jnp.conjugate(akt.T) @ ukt
+                upd = upd + jnp.conjugate(upd.T)
+                box = trail[:, None] & trail[None, :]
+                aa = jnp.where(box, aa - upd, aa)
+                aa = jnp.where(box, (aa + jnp.conjugate(aa.T)) / 2, aa)
                 akt = akt - 0.5 * akk @ ukt
-                akt = _tsolve(utt, akt, left=False, trans=False)
-                a = a.at[k : k + kb, k + kb :].set(akt)
-                a = a.at[k + kb :, k : k + kb].set(jnp.conjugate(akt.T))
-        return a
+                # right-solve against U_tt via the block-diagonal
+                # [I, U_tt] embedding (akt's leading columns are zero, so
+                # the identity block passes them through untouched)
+                u_bd = jnp.where(box, uu, eye_m)
+                akt = _tsolve(u_bd, akt, left=False, trans=False)
+
+                # write back: row strip (prior columns kept, akk on the
+                # diagonal, akt on the trailing), then the symmetric
+                # column strip below the diagonal block.
+                strip = jnp.where(trail[None, :], akt, art)
+                strip = lax.dynamic_update_slice(strip, akk, (0, k))
+                aa = lax.dynamic_update_slice(aa, strip, (k, 0))
+                colstrip = lax.dynamic_slice(aa, (0, k), (m, nb))
+                colstrip = jnp.where(
+                    trail[:, None], jnp.conjugate(akt.T), colstrip
+                )
+                aa = lax.dynamic_update_slice(aa, colstrip, (0, k))
+                return aa
+
+            aa = lax.fori_loop(0, nblk_here, block_step, aa)
+            a = lax.dynamic_update_slice(a, aa, (lo, lo))
+        return a[:n, :n]
 
 
 def sygst(a, u, mode="full", nb=512):

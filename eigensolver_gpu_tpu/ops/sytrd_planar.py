@@ -162,6 +162,49 @@ def _panel_columns_planar(
     )
 
 
+def _panel_via_pallas(ar_mb, ai_mb, d, e, taur, taui, panel_end, nb):
+    """Run the panel through the fused Pallas kernel
+    (ops/latrd_pallas.py) and fold its slot-ordered outputs back into
+    the LAPACK-layout carries of the XLA loop."""
+    from eigensolver_gpu_tpu.ops.latrd_pallas import latrd_panel_planar
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mb = ar_mb.shape[0]
+    # VMEM budget: double-buffered (tile, mb) planar input tiles must
+    # leave room for the (mb, nb) output panels (16 MB scoped limit)
+    tile = 128 if mb > 2048 else 256
+    vr, vi, wr, wi, colr, coli, scal = latrd_panel_planar(
+        ar_mb, ai_mb, panel_end, nb=nb, tile=tile, interpret=not on_tpu
+    )
+    pe = panel_end
+    start_col = pe - nb
+    ar_mb = lax.dynamic_update_slice(
+        ar_mb, jnp.flip(colr, axis=1), (0, start_col)
+    )
+    ai_mb = lax.dynamic_update_slice(
+        ai_mb, jnp.flip(coli, axis=1), (0, start_col)
+    )
+    d = lax.dynamic_update_slice(d, jnp.flip(scal[0]), (start_col,))
+    # e/tau target index cj-1; slot cj=0 (only when pe == nb) has no
+    # target -- roll its dummy out and preserve the old entry there.
+    is_first = start_col == 0
+    start_e = jnp.maximum(pe - nb - 1, 0)
+    valid = jnp.arange(nb) < nb - is_first.astype(jnp.int32)
+
+    def scatter(vec, vals):
+        vals = jnp.flip(vals)
+        vals = jnp.where(is_first, jnp.roll(vals, -1), vals)
+        old = lax.dynamic_slice(vec, (start_e,), (nb,))
+        return lax.dynamic_update_slice(
+            vec, jnp.where(valid, vals, old), (start_e,)
+        )
+
+    e = scatter(e, scal[1])
+    taur = scatter(taur, scal[2])
+    taui = scatter(taui, scal[3])
+    return ar_mb, ai_mb, vr, vi, wr, wi, d, e, taur, taui
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("nb", "bucket", "use_pallas"))
 def hetrd_planar(a_r, a_i, nb=32, bucket=512, use_pallas=False):
@@ -189,20 +232,32 @@ def hetrd_planar(a_r, a_i, nb=32, bucket=512, use_pallas=False):
             ar_mb = ar[:mb, :mb]
             ai_mb = ai[:mb, :mb]
             rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
-            # Mosaic has no fp64 in-kernel dot; the Pallas hemv serves the
-            # fp32 path only (the mixed-precision pipeline)
-            pallas_ok = use_pallas and rdt == jnp.float32 and mb % 512 == 0
+            # Mosaic has no fp64 in-kernel dot; the Pallas panel kernel
+            # serves the fp32 path only (the mixed-precision pipeline)
+            pallas_ok = (
+                use_pallas
+                and rdt == jnp.float32
+                and mb % 256 == 0
+                and mb <= 4096  # VMEM budget of the fused panel kernel
+            )
 
             def panel_step(p, carry, mb=mb, rows=rows, pallas_ok=pallas_ok):
                 ar_mb, ai_mb, d, e, taur, taui = carry
                 panel_end = mb - p * nb
-                z = jnp.zeros((mb, nb), rdt)
-                ar_mb, ai_mb, vr, vi, wr, wi, d, e, taur, taui = (
-                    _panel_columns_planar(
-                        ar_mb, ai_mb, z, z, z, z, d, e, taur, taui, panel_end,
-                        nb, pallas_ok,
+                if pallas_ok:
+                    ar_mb, ai_mb, vr, vi, wr, wi, d, e, taur, taui = (
+                        _panel_via_pallas(
+                            ar_mb, ai_mb, d, e, taur, taui, panel_end, nb
+                        )
                     )
-                )
+                else:
+                    z = jnp.zeros((mb, nb), rdt)
+                    ar_mb, ai_mb, vr, vi, wr, wi, d, e, taur, taui = (
+                        _panel_columns_planar(
+                            ar_mb, ai_mb, z, z, z, z, d, e, taur, taui,
+                            panel_end, nb, False,
+                        )
+                    )
                 # trailing her2k: A -= V W^H + W V^H (planar, masked)
                 t = panel_end - nb
                 keep = (rows < t)[:, None]

@@ -42,7 +42,9 @@ class SolverConfig:
         the reference's dsytrd_gpu.F90 role); 'two' = two-stage SBR
         (dense -> band via ops/sbrd.py, band -> tridiagonal bulge chase
         via ops/sb2st.py) which moves the O(n^3) flops into panel gemms;
-        'auto' = 'two' for real matrices with n >= two_stage_min_n.
+        'auto' = 'two' only for real fp64-compute matrices with
+        n >= two_stage_min_n (measured crossover; see
+        models/syevdx._use_two_stage).
       band: stage-1 band half-width for the two-stage reduction.
       two_stage_min_n: 'auto' switches to the two-stage reduction at
         this matrix size (below it the one-stage loop's lower constant
@@ -60,7 +62,7 @@ class SolverConfig:
     use_pallas: bool = False
     tridiag_mode: str = "auto"
     band: int = 32
-    two_stage_min_n: int = 2048
+    two_stage_min_n: int = 4096
 
     def __post_init__(self):
         if self.stedc_backend not in ("dc", "xla"):

@@ -62,7 +62,27 @@ def test_pcholesky_not_pd():
     n = 128
     b = -np.eye(n, dtype=complex)
     _, info = pcholesky_lower(to_planar(b), nb=64)
+    assert int(info) == 1  # devInfo: first bad pivot is column 1
+
+
+def test_pcholesky_indefinite_finite_reports_index():
+    """Indefinite-but-finite B (one negative eigenvalue, not -I): info
+    must carry the 1-based column of the first failing pivot, matching
+    LAPACK zpotrf's devInfo on the same matrix."""
+    import scipy.linalg as sla
+
+    n, k = 128, 77
+    rng = np.random.default_rng(31)
+    t = _rand_c(rng, n, n)
+    q, _ = np.linalg.qr(t)
+    w = np.ones(n)
+    w[k - 1] = -0.5  # exactly one negative direction
+    b = (q * w[None, :]) @ q.conj().T
+    b = (b + b.conj().T) / 2
+    _, info = pcholesky_lower(to_planar(b), nb=64)
+    _, ref_info = sla.lapack.zpotrf(b, lower=1)
     assert int(info) > 0
+    assert int(info) == int(ref_info)
 
 
 def test_pmatmul_chunked():

@@ -69,6 +69,22 @@ def test_info_not_pd():
     assert int(info) > 0
 
 
+def test_info_indefinite_finite():
+    """Indefinite-but-finite B (one negative eigenvalue): the XLA
+    cholesky can return finite junk without NaN; the diagonal-sign check
+    must still set info > 0."""
+    n = 64
+    a, _ = random_spd_pair(n, seed=19)
+    rng = np.random.default_rng(19)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.ones(n)
+    w[40] = -0.25
+    b = (q * w[None, :]) @ q.T
+    b = (b + b.T) / 2
+    _, _, info = dsygvdx(a, b, il=1, iu=4)
+    assert int(info) > 0
+
+
 @pytest.mark.parametrize("n", [64, 100])
 def test_syevdx_standard(n):
     """Standard solver is self-contained (fixes the reference's
