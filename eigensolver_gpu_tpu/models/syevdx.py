@@ -51,6 +51,18 @@ def _pad_decoupled(a, npad):
     return out
 
 
+def _maybe_row_shard(x, mesh):
+    """Constrain x to 'tp' row-sharding when a mesh is given (and the
+    row count divides evenly); no-op otherwise."""
+    if mesh is None or x.shape[0] % mesh.shape["tp"] != 0:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec("tp", None))
+    )
+
+
 def _use_two_stage(n, cfg, iscomplex, compute_is_f64):
     """Whether the two-stage SBR reduction (sbrd + bulge chase) replaces
     the one-stage Householder loop. Complex inputs use the one-stage path
@@ -72,10 +84,13 @@ def _use_two_stage(n, cfg, iscomplex, compute_is_f64):
     return compute_is_f64 and n >= cfg.two_stage_min_n
 
 
-def _tridiag_reduce(a_p, cfg, two_stage):
+def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
     """Reduce symmetric/Hermitian ``a_p`` (padded) to tridiagonal (d, e);
     returns (d, e, back) with ``back(z)`` applying the accumulated
-    orthogonal transform Q to tridiagonal eigenvector columns z."""
+    orthogonal transform Q to tridiagonal eigenvector columns z.
+
+    mesh: optional 'tp' row-sharding for the one-stage path (the
+    two-stage chase is latency-bound and runs as-is)."""
     if two_stage:
         from eigensolver_gpu_tpu.ops.sb2st import apply_q2, bulge_chase, dense_to_band
         from eigensolver_gpu_tpu.ops.sbrd import apply_q1, sbrd
@@ -90,7 +105,8 @@ def _tridiag_reduce(a_p, cfg, two_stage):
         return d, e, back
 
     a_packed, d, e, tau = sytrd(
-        a_p, nb=cfg.nb_tridiag, bucket=256, use_pallas=cfg.use_pallas
+        a_p, nb=cfg.nb_tridiag, bucket=256, use_pallas=cfg.use_pallas,
+        mesh=mesh,
     )
 
     def back(z):
@@ -100,10 +116,16 @@ def _tridiag_reduce(a_p, cfg, two_stage):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
-def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
+@functools.partial(jax.jit, static_argnames=("il", "iu", "cfg", "mesh"))
+def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG, mesh=None):
     """Eigenpairs il..iu (1-based, ascending, LAPACK RANGE='I') of dense
-    symmetric/Hermitian ``a``. Returns (w (m,) real, z (n, m))."""
+    symmetric/Hermitian ``a``. Returns (w (m,) real, z (n, m)).
+
+    mesh: optional jax.sharding.Mesh with a 'tp' axis -- the dominant
+    stages (tridiagonalization panel products, stedc merge gemms, WY
+    back-transform, refinement gemms) run with row-sharded operands and
+    XLA-inserted ICI collectives (SURVEY.md §5.7 capability extension;
+    the reference is single-GPU)."""
     n = a.shape[0]
     if iu is None:
         iu = n
@@ -135,14 +157,17 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
 
         lo_dt = jnp.complex64 if iscomplex else jnp.float32
         a_p = _pad_decoupled(a.astype(lo_dt), npad)
+        a_p = _maybe_row_shard(a_p, mesh)
         with trace_range("syevdx_fp32"):
-            d, e, back = _tridiag_reduce(a_p, cfg, two_stage)
-            w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
+            d, e, back = _tridiag_reduce(a_p, cfg, two_stage, mesh=mesh)
+            w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf, mesh=mesh)
             z_tri = q_tri.astype(lo_dt) if iscomplex else q_tri
+            z_tri = _maybe_row_shard(z_tri, mesh)
             x32 = back(z_tri[:, :n])[:n]
         w, x = refine_eigh(
-            a, x32.astype(a.dtype), sweeps=cfg.refine_iters,
-            chunk=2048 if n >= 8192 else None,
+            _maybe_row_shard(a, mesh), x32.astype(a.dtype),
+            sweeps=cfg.refine_iters,
+            chunk=2048 if n >= 8192 else None, mesh=mesh,
         )
         order = jnp.argsort(w)
         w = w[order]
@@ -150,9 +175,10 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         return w[il - 1 : iu], x[:, il - 1 : iu]
 
     a_p = _pad_decoupled(a, npad)
+    a_p = _maybe_row_shard(a_p, mesh)
     with trace_range("syevdx"):
-        d, e, back = _tridiag_reduce(a_p, cfg, two_stage)
-        w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
+        d, e, back = _tridiag_reduce(a_p, cfg, two_stage, mesh=mesh)
+        w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf, mesh=mesh)
         # stedc pads internally and returns npad pairs sorted ascending;
         # our decoupled padding sorts above the true spectrum, so indices
         # il..iu of the first n entries are the requested pairs.

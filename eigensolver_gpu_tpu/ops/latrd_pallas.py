@@ -17,6 +17,11 @@ per column; here the whole panel is a single kernel whose grid is
   branch-free planar zlarfg, and the panel writes. Slot writes/reads
   use one-hot masks (Mosaic cannot dynamically index the lane dim).
 
+VMEM layout note: every buffer's lane dimension pads to 128, so the
+six (mb, nb=32) panels are PACKED into one (mb, 6*nb) output and the
+six (mb, 1) work vectors into one (mb, 8) scratch -- unpacked they
+cost 24 MB of VMEM at mb=4096, packed ~6 MB (the scoped limit is 16).
+
 The sequential (column, tile) grid gives a stronger ordering guarantee
 than the reference's `atomicinc(finished)` barrier, bitwise-
 deterministically. fp32 only (Mosaic has no fp64 in-kernel dot); the
@@ -32,43 +37,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# lane offsets into the packed panel output: [vr vi wr wi colr coli]
+_VR, _VI, _WR, _WI, _CR, _CI = range(6)
+# lane offsets into the packed vector scratch
+_ACR, _ACI, _YR, _YI, _VCR, _VCI = range(6)
 
-def _phase(pe, g, nb, refs):
+
+def _phase(pe, g, nb, pan_ref, scal_ref, vec, smem):
     """Column-phase work at tile 0 of grid step g (see module docstring)."""
-    (
-        vr_ref, vi_ref, wr_ref, wi_ref, colr_ref, coli_ref, scal_ref,
-        acr_ref, aci_ref, yr_ref, yi_ref, vcr_ref, vci_ref, smem,
-    ) = refs
-    mb = acr_ref.shape[0]
+    mb = vec.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
     slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     f1 = jnp.float32(1.0)
+    P = lambda j: pan_ref[:, j * nb : (j + 1) * nb]  # packed panel slab
+    mm = lambda p, x: jnp.dot(p, x, preferred_element_type=jnp.float32)
+    ctr = lambda p, x: jax.lax.dot_general(
+        p, x, (((0,), (0,)), ((), ()))
+    )  # (mb, nb)^T @ (mb, 1) -> (nb, 1)
 
     # ---- (a) finalize w for slot g-2 (its y swept at step g-1) ----
     @pl.when(g >= 2)
     def _():
         s = g - 2
         onehot_s = (slot_lane == s).astype(jnp.float32)  # (1, nb)
-        v_r = jax.lax.dot_general(
-            vr_ref[:, :], onehot_s, (((1,), (1,)), ((), ()))
-        )  # (mb, 1)
-        v_i = jax.lax.dot_general(vi_ref[:, :], onehot_s, (((1,), (1,)), ((), ())))
+        v_r = jax.lax.dot_general(P(_VR), onehot_s, (((1,), (1,)), ((), ())))
+        v_i = jax.lax.dot_general(P(_VI), onehot_s, (((1,), (1,)), ((), ())))
         # y -= V (W^H v) + W (V^H v)   (planar compact-WY correction)
-        ctr = lambda p, x: jax.lax.dot_general(
-            p, x, (((0,), (0,)), ((), ()))
-        )  # (mb,nb)^T @ (mb,1) -> (nb,1)
-        wv_r = ctr(wr_ref[:, :], v_r) + ctr(wi_ref[:, :], v_i)  # (W^H v)_r
-        wv_i = ctr(wr_ref[:, :], v_i) - ctr(wi_ref[:, :], v_r)
-        vv_r = ctr(vr_ref[:, :], v_r) + ctr(vi_ref[:, :], v_i)  # (V^H v)_r
-        vv_i = ctr(vr_ref[:, :], v_i) - ctr(vi_ref[:, :], v_r)
-        mm = lambda p, x: jnp.dot(p, x, preferred_element_type=jnp.float32)
-        y_r = yr_ref[:, :] - (
-            mm(vr_ref[:, :], wv_r) - mm(vi_ref[:, :], wv_i)
-            + mm(wr_ref[:, :], vv_r) - mm(wi_ref[:, :], vv_i)
+        wv_r = ctr(P(_WR), v_r) + ctr(P(_WI), v_i)  # (W^H v)_r
+        wv_i = ctr(P(_WR), v_i) - ctr(P(_WI), v_r)
+        vv_r = ctr(P(_VR), v_r) + ctr(P(_VI), v_i)
+        vv_i = ctr(P(_VR), v_i) - ctr(P(_VI), v_r)
+        y_r = vec[:, _YR:_YR + 1] - (
+            mm(P(_VR), wv_r) - mm(P(_VI), wv_i)
+            + mm(P(_WR), vv_r) - mm(P(_WI), vv_i)
         )
-        y_i = yi_ref[:, :] - (
-            mm(vr_ref[:, :], wv_i) + mm(vi_ref[:, :], wv_r)
-            + mm(wr_ref[:, :], vv_i) + mm(wi_ref[:, :], vv_r)
+        y_i = vec[:, _YI:_YI + 1] - (
+            mm(P(_VR), wv_i) + mm(P(_VI), wv_r)
+            + mm(P(_WR), vv_i) + mm(P(_WI), vv_r)
         )
         tk_r = smem[0, s]
         tk_i = smem[1, s]
@@ -83,10 +88,8 @@ def _phase(pe, g, nb, refs):
         w_i = w_i + al_r * v_i + al_i * v_r
         cj = pe - 1 - s
         keep = (rows < cj).astype(jnp.float32)
-        w_r = w_r * keep
-        w_i = w_i * keep
-        wr_ref[:, :] += w_r * onehot_s
-        wi_ref[:, :] += w_i * onehot_s
+        pan_ref[:, _WR * nb : (_WR + 1) * nb] += (w_r * keep) * onehot_s
+        pan_ref[:, _WI * nb : (_WI + 1) * nb] += (w_i * keep) * onehot_s
 
     # ---- (b) prepare column slot g-1: corrections + larfg + writes ----
     @pl.when((g >= 1) & (g <= nb))
@@ -96,22 +99,18 @@ def _phase(pe, g, nb, refs):
         onehot_s = (slot_lane == s).astype(jnp.float32)
         # panel row cj of [W V] (the zlacgv'd gemv pair, conj'd below)
         rowmask = (rows == cj).astype(jnp.float32)  # (mb, 1)
-        rowof = lambda p: jax.lax.dot_general(
-            p, rowmask, (((0,), (0,)), ((), ()))
-        )  # (nb, 1)
-        wrow_r = rowof(wr_ref[:, :])
-        wrow_i = rowof(wi_ref[:, :])
-        vrow_r = rowof(vr_ref[:, :])
-        vrow_i = rowof(vi_ref[:, :])
-        mm = lambda p, x: jnp.dot(p, x, preferred_element_type=jnp.float32)
+        wrow_r = ctr(P(_WR), rowmask)
+        wrow_i = ctr(P(_WI), rowmask)
+        vrow_r = ctr(P(_VR), rowmask)
+        vrow_i = ctr(P(_VI), rowmask)
         # acol -= V conj(wrow) + W conj(vrow)
-        a_r = acr_ref[:, :] - (
-            mm(vr_ref[:, :], wrow_r) + mm(vi_ref[:, :], wrow_i)
-            + mm(wr_ref[:, :], vrow_r) + mm(wi_ref[:, :], vrow_i)
+        a_r = vec[:, _ACR:_ACR + 1] - (
+            mm(P(_VR), wrow_r) + mm(P(_VI), wrow_i)
+            + mm(P(_WR), vrow_r) + mm(P(_WI), vrow_i)
         )
-        a_i = aci_ref[:, :] - (
-            mm(vi_ref[:, :], wrow_r) - mm(vr_ref[:, :], wrow_i)
-            + mm(wi_ref[:, :], vrow_r) - mm(wr_ref[:, :], vrow_i)
+        a_i = vec[:, _ACI:_ACI + 1] - (
+            mm(P(_VI), wrow_r) - mm(P(_VR), wrow_i)
+            + mm(P(_WI), vrow_r) - mm(P(_WR), vrow_i)
         )
         d_val = jnp.sum(a_r * rowmask)
 
@@ -149,10 +148,10 @@ def _phase(pe, g, nb, refs):
         v_r = v_r * (1.0 - one_here) + one_here
         v_i = v_i * (1.0 - one_here)
 
-        vr_ref[:, :] += v_r * onehot_s
-        vi_ref[:, :] += v_i * onehot_s
-        vcr_ref[:, :] = v_r
-        vci_ref[:, :] = v_i
+        pan_ref[:, _VR * nb : (_VR + 1) * nb] += v_r * onehot_s
+        pan_ref[:, _VI * nb : (_VI + 1) * nb] += v_i * onehot_s
+        vec[:, _VCR:_VCR + 1] = v_r
+        vec[:, _VCI:_VCI + 1] = v_i
         smem[0, s] = tk_r
         smem[1, s] = tk_i
 
@@ -165,8 +164,8 @@ def _phase(pe, g, nb, refs):
         db = rowmask
         new_r = new_r * (1.0 - db) + db * d_val
         new_i = new_i * (1.0 - db)
-        colr_ref[:, :] += new_r * onehot_s
-        coli_ref[:, :] += new_i * onehot_s
+        pan_ref[:, _CR * nb : (_CR + 1) * nb] += new_r * onehot_s
+        pan_ref[:, _CI * nb : (_CI + 1) * nb] += new_i * onehot_s
         svals = jnp.concatenate(
             [
                 jnp.full((1, 1), d_val, jnp.float32),
@@ -179,33 +178,22 @@ def _phase(pe, g, nb, refs):
         scal_ref[:, :] += svals * onehot_s
 
 
-def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref,
-                  vr_ref, vi_ref, wr_ref, wi_ref, colr_ref, coli_ref,
-                  scal_ref, acr, aci, yr, yi, vcr, vci, smem):
+def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref, pan_ref, scal_ref,
+                  vec, smem):
     g = pl.program_id(0)
     i = pl.program_id(1)
     pe = pe_ref[0, 0]
-    mb = vr_ref.shape[0]
+    mb = vec.shape[0]
 
     @pl.when((g == 0) & (i == 0))
     def _():
-        vr_ref[:, :] = jnp.zeros_like(vr_ref)
-        vi_ref[:, :] = jnp.zeros_like(vi_ref)
-        wr_ref[:, :] = jnp.zeros_like(wr_ref)
-        wi_ref[:, :] = jnp.zeros_like(wi_ref)
-        colr_ref[:, :] = jnp.zeros_like(colr_ref)
-        coli_ref[:, :] = jnp.zeros_like(coli_ref)
+        pan_ref[:, :] = jnp.zeros_like(pan_ref)
         scal_ref[:, :] = jnp.zeros_like(scal_ref)
-        vcr[:, :] = jnp.zeros_like(vcr)
-        vci[:, :] = jnp.zeros_like(vci)
+        vec[:, :] = jnp.zeros_like(vec)
 
     @pl.when(i == 0)
     def _():
-        _phase(
-            pe, g, nb,
-            (vr_ref, vi_ref, wr_ref, wi_ref, colr_ref, coli_ref, scal_ref,
-             acr, aci, yr, yi, vcr, vci, smem),
-        )
+        _phase(pe, g, nb, pan_ref, scal_ref, vec, smem)
 
     # ---- tile sweep: y = A v (slot g-1) and raw a_col (slot g) ----
     @pl.when(g <= nb)
@@ -213,20 +201,23 @@ def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref,
         cj_next = pe - 1 - g  # column whose raw a_col this sweep gathers
         rows_t = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
         onehot_col = (rows_t == cj_next).astype(jnp.float32)  # (mb, 1)
-        rhs = jnp.concatenate([vcr[:, :], vci[:, :], onehot_col], axis=1)
+        rhs = jnp.concatenate(
+            [vec[:, _VCR:_VCR + 1], vec[:, _VCI:_VCI + 1], onehot_col],
+            axis=1,
+        )
         p = jnp.dot(ar_ref[:, :], rhs, preferred_element_type=jnp.float32)
         q = jnp.dot(ai_ref[:, :], rhs, preferred_element_type=jnp.float32)
         sl = pl.ds(i * tile, tile)
-        yr[sl, :] = p[:, 0:1] - q[:, 1:2]
-        yi[sl, :] = p[:, 1:2] + q[:, 0:1]
-        acr[sl, :] = p[:, 2:3]
-        aci[sl, :] = q[:, 2:3]
+        vec[sl, _YR:_YR + 1] = p[:, 0:1] - q[:, 1:2]
+        vec[sl, _YI:_YI + 1] = p[:, 1:2] + q[:, 0:1]
+        vec[sl, _ACR:_ACR + 1] = p[:, 2:3]
+        vec[sl, _ACI:_ACI + 1] = q[:, 2:3]
 
 
 @functools.partial(
     jax.jit, static_argnames=("nb", "tile", "interpret")
 )
-def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=256,
+def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
                        interpret=False):
     """One fused zlatrd panel on the planar pair (ar_mb, ai_mb) (mb, mb),
     processing columns [panel_end-nb, panel_end) (descending).
@@ -243,15 +234,12 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=256,
     f32 = jnp.float32
 
     kernel = functools.partial(_latrd_kernel, nb, tile)
-    outs = pl.pallas_call(
+    const = lambda g, i: (jnp.int32(0), jnp.int32(0))
+    pan, scal = pl.pallas_call(
         kernel,
         grid=(nb + 2, n_tiles),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1),
-                index_map=lambda g, i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.SMEM,
-            ),
+            pl.BlockSpec((1, 1), index_map=const, memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (tile, mb),
                 index_map=lambda g, i: (i, jnp.int32(0)),
@@ -264,31 +252,23 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=256,
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (mb, nb),
-                index_map=lambda g, i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            )
-            for _ in range(6)
-        ]
-        + [
-            pl.BlockSpec(
-                (4, nb),
-                index_map=lambda g, i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            )
+            pl.BlockSpec((mb, 6 * nb), index_map=const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nb), index_map=const, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((mb, nb), f32) for _ in range(6)]
-        + [jax.ShapeDtypeStruct((4, nb), f32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((mb, 6 * nb), f32),
+            jax.ShapeDtypeStruct((4, nb), f32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((mb, 1), f32),  # acol_r
-            pltpu.VMEM((mb, 1), f32),  # acol_i
-            pltpu.VMEM((mb, 1), f32),  # y_r
-            pltpu.VMEM((mb, 1), f32),  # y_i
-            pltpu.VMEM((mb, 1), f32),  # v_cur_r
-            pltpu.VMEM((mb, 1), f32),  # v_cur_i
+            pltpu.VMEM((mb, 8), f32),  # packed work vectors (lanes 0..5)
             pltpu.SMEM((2, nb), f32),  # tau_r, tau_i per slot
         ],
+        # the default scoped-vmem limit (16M) undercounts the phase's
+        # live (mb, nb)-slice temporaries; the chip has 128M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(pe, ar_mb, ai_mb)
-    return tuple(outs)
+    sl = lambda j: pan[:, j * nb : (j + 1) * nb]
+    return sl(_VR), sl(_VI), sl(_WR), sl(_WI), sl(_CR), sl(_CI), scal

@@ -64,17 +64,30 @@ def _sweep_eigh(a, x, eye, dt, chunk=None):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("sweeps", "coarse_first", "chunk"))
-def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None):
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "mesh")
+)
+def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None):
     """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of
     dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype.
 
     coarse_first: all but the last sweep run in the 32-bit dtype -- the
     early corrections only need a couple of digits, and the platform's
     emulated fp64 gemms dominate wall time (see ops/refine_planar.py).
+
+    mesh: optional 'tp' row-sharding of a and x -- the refinement gemms
+    (and crucially the emulated-fp64 8-slice operand expansions, ~8
+    bytes/element extra) then live sharded; XLA inserts the contraction
+    psums.
     """
     dt = a.dtype
     x = x.astype(dt)
+    if mesh is not None and x.shape[0] % mesh.shape["tp"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = NamedSharding(mesh, PartitionSpec("tp", None))
+        a = jax.lax.with_sharding_constraint(a, spec)
+        x = jax.lax.with_sharding_constraint(x, spec)
     eye = jnp.eye(x.shape[1], dtype=dt)
     is64 = jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64
 

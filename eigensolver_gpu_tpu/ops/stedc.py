@@ -53,9 +53,12 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     [[T1, beta e e^T^], [.., T2]] = blockdiag(D1', D2') + rho v v^T with
     rho = |beta|, v = [sign(beta) * last-col-of-Q1-basis, first-of-Q2]
     (the diagonal adjustments were applied on the way down, in stedc()).
+    The halves may have different sizes (the binary-decomposition merge
+    tree folds unequal groups; Cuppen's update never needed equal halves).
     """
     m = d1.shape[0]
-    n2 = 2 * m
+    m2_ = d2.shape[0]
+    n2 = m + m2_
     dt = d1.dtype
     eps = jnp.finfo(dt).eps
 
@@ -180,7 +183,33 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
         )
         return cand, lo, hi
 
-    mu, lo, hi = lax.fori_loop(0, _secular_iters(dt), secular_step, (mu0, lo0, hi0))
+    # Adaptive iteration: the fixed count (60 fp64 / 35 fp32) covers the
+    # worst case where lanes degrade to bisection, but typical spectra
+    # converge in ~15-25 rational steps. Run the same safeguarded step
+    # under a while_loop that stops once EVERY lane's bracket has
+    # collapsed to relative eps (absolute floor eps*gap_scale for roots
+    # near zero) -- ~2x fewer sweeps of the O(n^2) secular evaluation on
+    # typical merges with bitwise-identical worst-case behavior.
+    max_it = _secular_iters(dt)
+    # absolute floor at eps * gap_min: roots hugging their pole (mu of
+    # order the separation floor) still resolve to full relative
+    # precision before the freeze fires
+    tol_abs = eps * gap_min
+
+    def secular_cond(carry):
+        it, mu, lo, hi = carry
+        width = hi - lo
+        done = width <= eps * jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + tol_abs
+        return (it < max_it) & ~jnp.all(done)
+
+    def secular_body(carry):
+        it, mu, lo, hi = carry
+        mu, lo, hi = secular_step(it, (mu, lo, hi))
+        return it + 1, mu, lo, hi
+
+    _, mu, lo, hi = lax.while_loop(
+        secular_cond, secular_body, (jnp.int32(0), mu0, lo0, hi0)
+    )
     # final safeguarded value strictly inside the interval
     mu = jnp.clip(mu, lo, hi)
     sigma = jnp.where(sig_right, nxt_d, dp)
@@ -232,18 +261,49 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("leaf", "leaf_solver"))
-def stedc(d, e, leaf=64, leaf_solver="jacobi"):
+@functools.partial(jax.jit, static_argnames=("leaf", "leaf_solver", "mesh"))
+def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
     """All eigenpairs of the symmetric tridiagonal (d, e), on device.
 
     leaf_solver: 'jacobi' (ops/jacobi.py -- robust on platforms whose
     fp64 is double-word emulated and whose eigh quality is uncertain) or
     'xla' (jnp.linalg.eigh).
+
+    mesh: optional Mesh with a 'tp' axis. Lower merge levels shard the
+    independent-pair batch axis over it; once pairs < devices the merge
+    assembly gemm (the dominant (4/3)n^3 cost) is row-sharded instead.
     """
     from eigensolver_gpu_tpu.ops.jacobi import jacobi_eigh
 
     n = d.shape[0]
     dt = d.dtype
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ntp = mesh.shape["tp"]
+
+        def shard_level(wb_c, qb_c):
+            pairs = qb_c.shape[0]
+            if pairs % ntp == 0:
+                spec = PartitionSpec("tp", None, None)
+            elif qb_c.shape[1] % ntp == 0:
+                spec = PartitionSpec(None, "tp", None)
+            else:
+                return wb_c, qb_c
+            return wb_c, lax.with_sharding_constraint(
+                qb_c, NamedSharding(mesh, spec)
+            )
+
+        def shard_block(q_c):
+            if q_c.shape[0] % ntp:
+                return q_c
+            return lax.with_sharding_constraint(
+                q_c, NamedSharding(mesh, PartitionSpec("tp", None))
+            )
+    else:
+        shard_level = lambda wb_c, qb_c: (wb_c, qb_c)
+        shard_block = lambda q_c: q_c
 
     def leaf_eigh(tb):
         if leaf_solver == "jacobi" and tb.shape[-1] % 2 == 0:
@@ -261,11 +321,16 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi"):
         d = d / scale
         e = e / scale
 
-        # pad to leaf * 2^L with decoupled, distinct, above-spectrum values
-        nblk_needed = -(-n // leaf)
-        levels = (nblk_needed - 1).bit_length()
-        npad = leaf * (1 << levels)
-        nblk = npad // leaf
+        # pad to a whole number of leaves only (< leaf extra entries).
+        # The merge tree is built from the BINARY DECOMPOSITION of the
+        # block count instead of padding to leaf * 2^L: power-of-two
+        # padding cost up to 4x just past a boundary (n=4097 padded to
+        # 8192); here each power-of-two group of leaves gets a standard
+        # vmapped tree and the group results fold left-to-right through
+        # unequal-size merges (Cuppen's rank-one update never needed
+        # equal halves).
+        nblk = -(-n // leaf)
+        npad = leaf * nblk
         pad = npad - n
         # distinct decoupled values just above the scaled spectrum
         # (Gershgorin of T/scale <= 3). Tight spacing matters: these
@@ -299,22 +364,47 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi"):
 
         gap_scale = jnp.maximum(jnp.max(jnp.abs(dp_full)), 1.0)
 
-        # bottom-up merges
-        m = leaf
-        while m < npad:
-            pairs = npad // (2 * m)
-            w1 = wb.reshape(pairs, 2, m)[:, 0]
-            w2 = wb.reshape(pairs, 2, m)[:, 1]
-            q1 = qb.reshape(pairs, 2, m, m)[:, 0]
-            q2 = qb.reshape(pairs, 2, m, m)[:, 1]
-            betas = e_full[(2 * jnp.arange(pairs) + 1) * m - 1]
-            merge = jax.vmap(_merge_pair, in_axes=(0, 0, 0, 0, 0, None))
-            wb, qb = merge(w1, q1, w2, q2, betas, gap_scale)
-            m *= 2
-            # embed pairwise blocks: qb is (pairs, 2m, 2m)
+        def tree(wb_c, qb_c, start_el, nblk_c):
+            """Standard vmapped power-of-two merge tree over nblk_c
+            leaves whose first element sits at global index start_el."""
+            m = leaf
+            sz = nblk_c * leaf
+            while m < sz:
+                pairs = sz // (2 * m)
+                w1 = wb_c.reshape(pairs, 2, m)[:, 0]
+                w2 = wb_c.reshape(pairs, 2, m)[:, 1]
+                q1 = qb_c.reshape(pairs, 2, m, m)[:, 0]
+                q2 = qb_c.reshape(pairs, 2, m, m)[:, 1]
+                betas = e_full[start_el + (2 * jnp.arange(pairs) + 1) * m - 1]
+                merge = jax.vmap(_merge_pair, in_axes=(0, 0, 0, 0, 0, None))
+                wb_c, qb_c = merge(w1, q1, w2, q2, betas, gap_scale)
+                wb_c, qb_c = shard_level(wb_c, qb_c)
+                m *= 2
+            return wb_c.reshape(sz), qb_c.reshape(sz, sz)
 
-        w = wb.reshape(npad)
-        q = qb.reshape(npad, npad)
+        # binary decomposition of the block count, largest group first
+        comps = []
+        start = 0
+        for bit in reversed(range(nblk.bit_length())):
+            size = 1 << bit
+            if nblk & size:
+                comps.append((start, size))
+                start += size
+        acc_w = acc_q = None
+        for start_blk, size_blk in comps:
+            wg, qg = tree(
+                wb[start_blk : start_blk + size_blk],
+                qb[start_blk : start_blk + size_blk],
+                start_blk * leaf,
+                size_blk,
+            )
+            if acc_w is None:
+                acc_w, acc_q = wg, shard_block(qg)
+            else:
+                beta = e_full[start_blk * leaf - 1]
+                acc_w, acc_q = _merge_pair(acc_w, acc_q, wg, qg, beta, gap_scale)
+                acc_q = shard_block(acc_q)
+
         # padding deflates to eigenvalues >= 4 > Gershgorin(T/scale) <= 3,
         # so after the (already sorted) merge the real pairs come first
-        return w[:n] * scale, q[:n, :n]
+        return acc_w[:n] * scale, acc_q[:n, :n]

@@ -174,9 +174,18 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, use_pall
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("nb", "bucket", "use_pallas"))
-def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
-    """Full blocked tridiagonalization. Returns (a_packed, d, e, tau)."""
+@functools.partial(
+    jax.jit, static_argnames=("nb", "bucket", "use_pallas", "mesh")
+)
+def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False, mesh=None):
+    """Full blocked tridiagonalization. Returns (a_packed, d, e, tau).
+
+    mesh: optional jax.sharding.Mesh with a 'tp' axis -- the active
+    matrix (and therefore the hot per-column gemv, the stacked panel
+    products, and the trailing rank-2nb gemm) is row-sharded over it;
+    XLA SPMD inserts the psum/all-gather collectives (a few small psums
+    per column: the [W V]^H v stack and the larfg scalar reductions).
+    """
     n = a.shape[0]
     if n % nb != 0:
         raise ValueError(f"sytrd_blocked requires n % nb == 0, got n={n}, nb={nb}")
@@ -199,6 +208,12 @@ def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
             lo = (b - 1) * bucket
             npanels = (mb - lo) // nb
             a_mb = a[:mb, :mb]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                a_mb = lax.with_sharding_constraint(
+                    a_mb, NamedSharding(mesh, PartitionSpec("tp", None))
+                )
             rows = lax.broadcasted_iota(jnp.int32, (mb, 1), 0).squeeze(-1)
             # the Mosaic toolchain has no fp64 in-kernel dot
             # (NotImplementedError: float64), so the Pallas symv serves
@@ -237,8 +252,10 @@ def sytrd_blocked(a, nb=32, bucket=512, use_pallas=False):
     return a, d, e[: n - 1] if n > 1 else e[:0], tau[: n - 1] if n > 1 else tau[:0]
 
 
-def sytrd(a, nb=32, bucket=512, use_pallas=False):
+def sytrd(a, nb=32, bucket=512, use_pallas=False, mesh=None):
     """Alias used by the drivers (real and complex share one implementation;
     the reference maintains twin 728/883-line files, dsytrd_gpu.F90 and
     zhetrd_gpu.F90 -- dtype polymorphism replaces the duplication)."""
-    return sytrd_blocked(a, nb=nb, bucket=bucket, use_pallas=use_pallas)
+    return sytrd_blocked(
+        a, nb=nb, bucket=bucket, use_pallas=use_pallas, mesh=mesh
+    )

@@ -35,25 +35,36 @@ from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
 
 @functools.partial(jax.jit, static_argnames=("mesh", "il", "iu", "cfg"))
 def _sharded_step(a, b, mesh, il, iu, cfg):
-    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("tp", None))
+    n = a.shape[0]
     # UPLO='U' contract, same normalization as the unsharded driver
     a = _from_upper(a)
     b = _from_upper(b)
     u, info = cholesky_upper(b)
-    # two-sided triangular solve with sharded operands; XLA partitions
-    # the blocked solves and inserts ICI collectives
-    x = lax.linalg.triangular_solve(
-        u, a, left_side=True, lower=False, transpose_a=True, conjugate_a=True
-    )
-    c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
-    c = (c + jnp.conj(c.T)) / 2
-    # standard solve on the (currently replicated) standard matrix
-    c = lax.with_sharding_constraint(c, repl)
-    w, y = syevdx(c, il=il, iu=iu, cfg=cfg)
-    y = lax.with_sharding_constraint(y, NamedSharding(mesh, P("tp", None)))
+    # reduction to standard form with sharded operands; XLA partitions
+    # the solves/gemms and inserts ICI collectives. The blocked
+    # recurrence is used at scale for the same reason as single-chip
+    # (XLA's whole-matrix solve keeps O(n) full-width temps alive).
+    if n >= 8192 or cfg.sygst_mode == "blocked":
+        from eigensolver_gpu_tpu.ops.sygst import sygst_blocked
+
+        c = sygst_blocked(a, u, nb=cfg.nb_sygst)
+    else:
+        x = lax.linalg.triangular_solve(
+            u, a, left_side=True, lower=False, transpose_a=True,
+            conjugate_a=True,
+        )
+        c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
+        c = (c + jnp.conj(c.T)) / 2
+    # standard solve with the dominant stages sharded over 'tp'
+    # (tridiagonalization, stedc merges, back-transform, refinement)
+    c = lax.with_sharding_constraint(c, row)
+    w, y = syevdx(c, il=il, iu=iu, cfg=cfg, mesh=mesh)
+    y = lax.with_sharding_constraint(y, row)
     z = lax.linalg.triangular_solve(
         u, y, left_side=True, lower=False, transpose_a=False
     )
+    z = lax.with_sharding_constraint(z, row)
     return SygvdxResult(w=w, z=z, info=info)
 
 

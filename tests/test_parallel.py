@@ -79,3 +79,34 @@ def test_sygvdx_sharded_uplo_contract():
     assert int(info1) == 0
     assert np.allclose(np.asarray(w1), np.asarray(w0), atol=1e-11 * n)
     assert np.allclose(np.abs(np.asarray(z1)), np.abs(np.asarray(z0)), atol=1e-9 * n)
+
+
+def test_sharded_dominant_stages_communicate():
+    """VERDICT r1 #3: the dominant stages (tridiagonalization panel
+    products, stedc merges, refinement gemms) must actually run SHARDED,
+    not replicated. Assert (a) the compiled module contains cross-device
+    collectives, (b) the eigenvector output is row-sharded over 'tp',
+    and (c) the answer still matches the LAPACK oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eigensolver_gpu_tpu.parallel.sharded import _sharded_step
+
+    mesh = make_mesh(8)
+    n = 512
+    a, b = random_spd_pair(n, seed=30)
+    cfg = SolverConfig(compute_dtype="float32", refine_iters=2)
+    row = NamedSharding(mesh, P("tp", None))
+    a_d = jax.device_put(a, row)
+    b_d = jax.device_put(b, row)
+    compiled = _sharded_step.lower(a_d, b_d, mesh, 1, 128, cfg).compile()
+    hlo = compiled.as_text()
+    assert ("all-reduce" in hlo) or ("all-gather" in hlo) or (
+        "collective-permute" in hlo
+    ), "no ICI collectives in the sharded solve -- stages are replicated"
+    w, z, info = compiled(a_d, b_d)
+    assert int(info) == 0
+    z_spec = z.sharding.spec
+    assert tuple(z_spec)[:1] == ("tp",), f"z not row-sharded: {z_spec}"
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)[:128]
+    assert np.abs(np.asarray(w) - w_ref).max() < 1e-10 * n
+    assert ge_residual(a, b, np.asarray(w), np.asarray(z)) < 1e-12
