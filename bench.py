@@ -51,6 +51,29 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def flops_model(n, m, complex_input, mixed):
+    """Real-flop count of the generalized solve (BASELINE.json names
+    GFLOP/s as the north-star metric; the reference computes none --
+    this is the standard LAPACK operation-count model).
+
+    Stages (real-flop multiplier x4 for complex arithmetic):
+      potrf n^3/3, sygst n^3, sytrd 4n^3/3, stedc assembly ~4n^3/3
+      (one n x n gemm per merge level, geometric sum ~2 n^3 MACs),
+      unmtr 4 n^2 m, trsm n^2 m.
+    The mixed path runs those in fp32 on the full spectrum (m = n for
+    the back-transform) + refinement sweeps (5 gemms of n^2 m each,
+    Karatsuba x3 for planar complex).
+    """
+    c = 4.0 if complex_input else 1.0
+    factor = n**3 * (1.0 / 3 + 1.0 + 4.0 / 3 + 4.0 / 3)
+    back = 4.0 * n * n * n + n * n * m  # full-spectrum unmtr + trsm
+    total = c * 2.0 * (factor + back)  # MAC -> flop
+    if mixed:
+        gemms = 5.0 * n * n * n * (3.0 if complex_input else 1.0)
+        total += 3 * 2.0 * gemms  # 2 fp32 + 1 fp64 sweep, flops each
+    return total
+
+
 def main():
     n = int(os.environ.get("EIGSOLVE_BENCH_N", "4096"))
     dtype = os.environ.get("EIGSOLVE_BENCH_DTYPE", "complex128")
@@ -120,6 +143,11 @@ def main():
         times.append(wallclock() - t0)
     ours_ms = min(times) * 1e3
     log(f"steady wall-time: {ours_ms:.1f} ms; all runs: {[f'{t*1e3:.1f}' for t in times]}")
+    fl = flops_model(n, iu, dtype == "complex128", mode == "mp")
+    log(
+        f"model flops: {fl/1e9:.0f} GFLOP -> {fl/ours_ms/1e6:.0f} GFLOP/s "
+        f"effective (north-star metric, BASELINE.json)"
+    )
 
     vs_baseline = 0.0
     if not os.environ.get("EIGSOLVE_BENCH_SKIP_CPU"):

@@ -15,12 +15,18 @@ generalized problem ``M(A) y = lambda M(B) y`` -- solved by the fully
 TPU-native real pipeline (models/sygvdx.py) at 2x the flops of native
 complex arithmetic.
 
-Pair selection: eigenvalues come out in adjacent equal pairs; taking
-every other selected column yields one complex eigenvector per pair.
-For *exactly* multiple eigenvalues the picked complex vectors can be
-linearly dependent (known limitation of the plain embedding; the
-structure-preserving variant is on the roadmap) -- generic and QE-style
-spectra are fine.
+Pair selection (structure-preserving): eigenvalues come out in adjacent
+equal pairs. The naive pick (every other selected column) produces
+linearly DEPENDENT complex vectors when eigenvalues are exactly
+multiple: with J = [[0, -I], [I, 0]], y and Jy span the same complex
+line (x(Jy) = i x(y)), and the real solver is free to return any
+rotation of a degenerate eigenspace. The extraction here never picks:
+all 2m selected real columns are mapped to complex vectors X (n, 2m)
+whose complex span is exactly the m-dimensional invariant subspace;
+a fixed random compression X Omega (rank m a.s.), a planar Cholesky-QR
+B-orthonormalization, and a Rayleigh-Ritz projection (planar complex
+Jacobi, degeneracy-safe) return exact B-orthonormal eigenpairs of the
+original pencil.
 
 This capability has no counterpart in the reference (Volta has native
 complex fp64); it exists so the complex API contract survives on
@@ -69,11 +75,61 @@ def zhegvdx_embedded(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_
     mb = embed_herm(br, bi)
     # complex indices il..iu = doubled real indices 2il-1 .. 2iu (1-based)
     w2, y, info = sygvdx(ma, mb, il=2 * il - 1, iu=2 * iu, cfg=cfg)
-    w = w2[0::2]
-    ysel = y[:, 0::2]
-    zr = ysel[:n, :]
-    zi = ysel[n:, :]
+    w, zr, zi = _extract_invariant(y, (ar, ai), (br, bi), iu - il + 1)
     return EmbeddedResult(w=w, zr=zr, zi=zi, info=info)
+
+
+def _extract_invariant(y, a, b, m):
+    """Structure-preserving extraction of m complex eigenpairs from the
+    2m selected real embedded eigenvectors (module docstring): random
+    J-compression -> planar Cholesky-QR in the B metric -> Rayleigh-Ritz
+    with the planar complex Jacobi. Exact for degenerate spectra."""
+    import numpy as np
+
+    from eigensolver_gpu_tpu.ops.jacobi import jacobi_eigh_planar
+    from eigensolver_gpu_tpu.ops.planar import (
+        _fsub_base,
+        _pchol_base,
+        pH,
+        pmatmul,
+    )
+
+    ar, ai = a
+    n = ar.shape[0]
+    dt = ar.dtype
+    xr = y[:n, :].astype(dt)  # complex columns x_j = u_j + i v_j
+    xi = y[n:, :].astype(dt)
+    # fixed compression (trace-time constant; any generic Omega works)
+    host = np.random.default_rng(20240817)
+    om_r = jnp.asarray(host.standard_normal((2 * m, m)), dt)
+    om_i = jnp.asarray(host.standard_normal((2 * m, m)), dt)
+    xh = (xr @ om_r - xi @ om_i, xr @ om_i + xi @ om_r)  # (n, m)
+    # B-orthonormalize: G = Xh^H B Xh = L L^H; Q = Xh L^{-H}
+    bx = pmatmul(b, xh)
+    g = pmatmul(pH(xh), bx)
+    gr = (g[0] + g[0].T) / 2
+    gi = (g[1] - g[1].T) / 2
+    lr, li, _ = _pchol_base(gr, gi, m)
+    # Q^H = L^{-1} Xh^H (planar forward substitution), Q = (Q^H)^H
+    qh = _fsub_base(lr, li, xh[0].T, -xh[1].T, m)
+    q = (qh[0].T, -qh[1].T)
+    # Rayleigh-Ritz: S = Q^H A Q is exact on the invariant subspace
+    s = pmatmul(pH(q), pmatmul(a, q))
+    sr = (s[0] + s[0].T) / 2
+    si = (s[1] - s[1].T) / 2
+    if m % 2 != 0:
+        # pad with a decoupled above-spectrum value (planar Jacobi's
+        # round-robin schedule needs an even size)
+        bound = jnp.max(jnp.sum(jnp.abs(sr) + jnp.abs(si), axis=1)) + 1.0
+        sr = jnp.pad(sr, ((0, 1), (0, 1))).at[m, m].set(bound)
+        si = jnp.pad(si, ((0, 1), (0, 1)))
+    w, (rr, ri) = jacobi_eigh_planar(sr, si)
+    w = w[:m]
+    rr = rr[:m, :m]
+    ri = ri[:m, :m]
+    zr = q[0] @ rr - q[1] @ ri
+    zi = q[0] @ ri + q[1] @ rr
+    return w, zr, zi
 
 
 def zhegvdx_embedded_batched(

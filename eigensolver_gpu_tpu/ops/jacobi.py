@@ -106,3 +106,71 @@ def jacobi_eigh(a, sweeps=10):
     w = jnp.take_along_axis(w, order, axis=-1)
     v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
     return w.reshape(batch_shape + (m,)), v.reshape(batch_shape + (m, m))
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh_planar(ar, ai, sweeps=12):
+    """Eigendecomposition of small HERMITIAN matrices in planar (re, im)
+    arithmetic (no complex dtypes -- the target TPU stack has none).
+
+    ar, ai: (m, m) with A = ar + i*ai Hermitian, m even. Returns
+    (w ascending (m,), (vr, vi)) with A V = V diag(w), V unitary.
+
+    Complex cyclic Jacobi: the (p, q) rotation is the unitary
+    G[p,p]=G[q,q]=c, G[p,q]=s*e^{i phi}, G[q,p]=-s*e^{-i phi} with
+    phi = arg(a_pq) and theta from the real Golub/Van Loan formula on
+    (a_pp, a_qq, |a_pq|) -- degenerate eigenvalues need no special
+    handling, which is why this backs the structure-preserving
+    embedding extraction (ops/complex_embed.py)."""
+    m = ar.shape[-1]
+    if m % 2 != 0:
+        raise ValueError(f"jacobi_eigh_planar requires even m, got {m}")
+    dt = ar.dtype
+    p_np, q_np = _round_robin(m)
+    p_all = jnp.asarray(p_np)
+    q_all = jnp.asarray(q_np)
+    rounds = m - 1
+    eye = jnp.eye(m, dtype=dt)
+    zer = jnp.zeros((m, m), dt)
+
+    def round_step(r, carry):
+        ar, ai, vr, vi = carry
+        p = p_all[r % rounds]
+        q = q_all[r % rounds]
+        app = ar[p, p]  # diagonals real (Hermitian)
+        aqq = ar[q, q]
+        pqr = ar[p, q]
+        pqi = ai[p, q]
+        mag = jnp.sqrt(pqr * pqr + pqi * pqi)
+        eps = jnp.finfo(dt).eps
+        nz = mag > eps * (jnp.abs(app) + jnp.abs(aqq)) / 2
+        safe_mag = jnp.where(nz, mag, jnp.ones((), dt))
+        cph = jnp.where(nz, pqr / safe_mag, jnp.ones((), dt))
+        sph = jnp.where(nz, pqi / safe_mag, jnp.zeros((), dt))
+        tau = (aqq - app) / (2.0 * safe_mag)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0, jnp.ones((), dt), t)
+        t = jnp.where(nz, t, jnp.zeros((), dt))
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        gr = eye.at[p, p].set(c).at[q, q].set(c)
+        gr = gr.at[p, q].set(s * cph).at[q, p].set(-s * cph)
+        gi = zer.at[p, q].set(s * sph).at[q, p].set(s * sph)
+        # A <- G^H A G, V <- V G  (planar products)
+        tr = ar @ gr - ai @ gi
+        ti = ar @ gi + ai @ gr
+        nar = gr.T @ tr + gi.T @ ti
+        nai = gr.T @ ti - gi.T @ tr
+        ar = (nar + nar.T) / 2
+        ai = (nai - nai.T) / 2
+        nvr = vr @ gr - vi @ gi
+        nvi = vr @ gi + vi @ gr
+        return ar, ai, nvr, nvi
+
+    ar, ai, vr, vi = lax.fori_loop(
+        0, sweeps * rounds, round_step, (ar, ai, eye, zer)
+    )
+    w = jnp.diagonal(ar)
+    order = jnp.argsort(w)
+    return w[order], (vr[:, order], vi[:, order])

@@ -43,7 +43,7 @@ _VR, _VI, _WR, _WI, _CR, _CI = range(6)
 _ACR, _ACI, _YR, _YI, _VCR, _VCI = range(6)
 
 
-def _phase(pe, g, nb, pan_ref, scal_ref, vec, smem):
+def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
     """Column-phase work at tile 0 of grid step g (see module docstring)."""
     mb = vec.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
@@ -150,8 +150,9 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, smem):
 
         pan_ref[:, _VR * nb : (_VR + 1) * nb] += v_r * onehot_s
         pan_ref[:, _VI * nb : (_VI + 1) * nb] += v_i * onehot_s
-        vec[:, _VCR:_VCR + 1] = v_r
-        vec[:, _VCI:_VCI + 1] = v_i
+        # row-vector copies feed the VPU matvec in the tile sweep
+        rowv[0:1, :] = v_r.reshape(1, mb)
+        rowv[1:2, :] = v_i.reshape(1, mb)
         smem[0, s] = tk_r
         smem[1, s] = tk_i
 
@@ -179,7 +180,7 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, smem):
 
 
 def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref, pan_ref, scal_ref,
-                  vec, smem):
+                  vec, rowv, smem):
     g = pl.program_id(0)
     i = pl.program_id(1)
     pe = pe_ref[0, 0]
@@ -190,28 +191,35 @@ def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref, pan_ref, scal_ref,
         pan_ref[:, :] = jnp.zeros_like(pan_ref)
         scal_ref[:, :] = jnp.zeros_like(scal_ref)
         vec[:, :] = jnp.zeros_like(vec)
+        rowv[:, :] = jnp.zeros_like(rowv)
 
     @pl.when(i == 0)
     def _():
-        _phase(pe, g, nb, pan_ref, scal_ref, vec, smem)
+        _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem)
 
     # ---- tile sweep: y = A v (slot g-1) and raw a_col (slot g) ----
+    # VPU formulation: an MXU dot with an (mb, 3) rhs runs at 1/42 lane
+    # utilization (measured: gemv-bound 35 ms/panel); elementwise
+    # multiply + lane-reduction hits the VPU's full 8x128 width and
+    # leaves the panel HBM-bandwidth-bound.
     @pl.when(g <= nb)
     def _():
         cj_next = pe - 1 - g  # column whose raw a_col this sweep gathers
-        rows_t = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
-        onehot_col = (rows_t == cj_next).astype(jnp.float32)  # (mb, 1)
-        rhs = jnp.concatenate(
-            [vec[:, _VCR:_VCR + 1], vec[:, _VCI:_VCI + 1], onehot_col],
-            axis=1,
-        )
-        p = jnp.dot(ar_ref[:, :], rhs, preferred_element_type=jnp.float32)
-        q = jnp.dot(ai_ref[:, :], rhs, preferred_element_type=jnp.float32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, mb), 1)
+        onehot_row = (lanes == cj_next).astype(jnp.float32)  # (1, mb)
+        arow = ar_ref[:, :]
+        aiw = ai_ref[:, :]
+        v_r = rowv[0:1, :]
+        v_i = rowv[1:2, :]
         sl = pl.ds(i * tile, tile)
-        vec[sl, _YR:_YR + 1] = p[:, 0:1] - q[:, 1:2]
-        vec[sl, _YI:_YI + 1] = p[:, 1:2] + q[:, 0:1]
-        vec[sl, _ACR:_ACR + 1] = p[:, 2:3]
-        vec[sl, _ACI:_ACI + 1] = q[:, 2:3]
+        vec[sl, _YR:_YR + 1] = jnp.sum(
+            arow * v_r - aiw * v_i, axis=1, keepdims=True
+        )
+        vec[sl, _YI:_YI + 1] = jnp.sum(
+            arow * v_i + aiw * v_r, axis=1, keepdims=True
+        )
+        vec[sl, _ACR:_ACR + 1] = jnp.sum(arow * onehot_row, axis=1, keepdims=True)
+        vec[sl, _ACI:_ACI + 1] = jnp.sum(aiw * onehot_row, axis=1, keepdims=True)
 
 
 @functools.partial(
@@ -260,7 +268,8 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
             jax.ShapeDtypeStruct((4, nb), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((mb, 8), f32),  # packed work vectors (lanes 0..5)
+            pltpu.VMEM((mb, 8), f32),  # packed work vectors (lanes 0..3)
+            pltpu.VMEM((8, mb), f32),  # row-vector copies of v (VPU sweep)
             pltpu.SMEM((2, nb), f32),  # tau_r, tau_i per slot
         ],
         # the default scoped-vmem limit (16M) undercounts the phase's
