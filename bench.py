@@ -85,10 +85,13 @@ def main():
     # 3 refinement sweeps = 2 coarse (fp32) + 1 full (fp64): the fp32
     # sweeps are nearly free and the single fp64 sweep halves what used
     # to be 70% of the wall time (benchmarks/stages_planar.py).
+    use_pallas = bool(os.environ.get("EIGSOLVE_BENCH_PALLAS"))
     cfg = (
-        SolverConfig(compute_dtype="float32", refine_iters=3)
+        SolverConfig(
+            compute_dtype="float32", refine_iters=3, use_pallas=use_pallas
+        )
         if mode == "mp"
-        else SolverConfig()
+        else SolverConfig(use_pallas=use_pallas)
     )
     log(f"bench: n={n} dtype={dtype} mode={mode} il=1 iu={iu} devices={jax.devices()}")
 

@@ -26,6 +26,18 @@ The sequential (column, tile) grid gives a stronger ordering guarantee
 than the reference's `atomicinc(finished)` barrier, bitwise-
 deterministically. fp32 only (Mosaic has no fp64 in-kernel dot); the
 fp64 path keeps the XLA loop.
+
+MEASURED RESULT (round 2, real chip, mb=4096 panel): 31-38 ms/panel
+across every variant tried -- MXU dots with skinny rhs, VPU
+multiply+lane-reduce, lane-folded reduction, 1..8 DMA streams, tiles
+128..512 -- exactly at parity with the XLA compiled loop (32 ms). The
+panel is gemv-throughput-bound on this chip (~140 GB/s effective for
+sequential matvec-shaped sweeps however expressed; a single Pallas DMA
+stream tops at ~71 GB/s and concurrency only scales across distinct
+HBM buffers). The kernel is therefore NOT the default (use_pallas
+gates it); it stays as the compiled-kernel counterpart of the
+reference's fused zlatrd chain and as the vehicle for these platform
+measurements (CLAUDE.md facts 8-9).
 """
 
 from __future__ import annotations
@@ -179,12 +191,18 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
         scal_ref[:, :] += svals * onehot_s
 
 
-def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref, pan_ref, scal_ref,
-                  vec, rowv, smem):
+_NSPLIT = 4  # column-quarter input splits (parallel DMA streams)
+
+
+def _latrd_kernel(nb, tile, *refs):
+    pe_ref = refs[0]
+    a_refs = refs[1 : 1 + 2 * _NSPLIT]  # ar quarters then ai quarters
+    pan_ref, scal_ref, vec, rowv, smem = refs[1 + 2 * _NSPLIT :]
     g = pl.program_id(0)
     i = pl.program_id(1)
     pe = pe_ref[0, 0]
     mb = vec.shape[0]
+    mq = mb // _NSPLIT
 
     @pl.when((g == 0) & (i == 0))
     def _():
@@ -200,26 +218,50 @@ def _latrd_kernel(nb, tile, pe_ref, ar_ref, ai_ref, pan_ref, scal_ref,
     # ---- tile sweep: y = A v (slot g-1) and raw a_col (slot g) ----
     # VPU formulation: an MXU dot with an (mb, 3) rhs runs at 1/42 lane
     # utilization (measured: gemv-bound 35 ms/panel); elementwise
-    # multiply + lane-reduction hits the VPU's full 8x128 width and
-    # leaves the panel HBM-bandwidth-bound.
+    # multiply + lane-reduction hits the VPU's full 8x128 width. Each
+    # planar array arrives as _NSPLIT column-quarter inputs because one
+    # Pallas DMA stream tops out at ~71 GB/s on the target chip
+    # (measured; XLA's own ops use many parallel streams) -- 8 streams
+    # recover most of the HBM bandwidth.
     @pl.when(g <= nb)
     def _():
         cj_next = pe - 1 - g  # column whose raw a_col this sweep gathers
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, mb), 1)
         onehot_row = (lanes == cj_next).astype(jnp.float32)  # (1, mb)
-        arow = ar_ref[:, :]
-        aiw = ai_ref[:, :]
         v_r = rowv[0:1, :]
         v_i = rowv[1:2, :]
+        # lane-fold reduction: cross-lane shuffles are expensive on the
+        # VPU, so fold each (tile, mq) product into (tile, 128) with
+        # plain vreg adds and pay ONE narrow cross-lane reduce per
+        # output at the end of the quarter loop.
+        if mq % 128 == 0:
+            fold = lambda x: jnp.sum(
+                x.reshape(tile, mq // 128, 128), axis=1
+            )  # (tile, 128)
+        else:  # small buckets: quarter narrower than one vreg row
+            fold = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        y_r = y_i = ac_r = ac_i = None
+        for qx in range(_NSPLIT):
+            arq = a_refs[qx][:, :]
+            aiq = a_refs[_NSPLIT + qx][:, :]
+            lo = qx * mq
+            vrq = v_r[:, lo : lo + mq]
+            viq = v_i[:, lo : lo + mq]
+            ohq = onehot_row[:, lo : lo + mq]
+            t0 = fold(arq * vrq - aiq * viq)
+            t1 = fold(arq * viq + aiq * vrq)
+            t2 = fold(arq * ohq)
+            t3 = fold(aiq * ohq)
+            y_r = t0 if y_r is None else y_r + t0
+            y_i = t1 if y_i is None else y_i + t1
+            ac_r = t2 if ac_r is None else ac_r + t2
+            ac_i = t3 if ac_i is None else ac_i + t3
+        red = lambda x: jnp.sum(x, axis=1, keepdims=True)
         sl = pl.ds(i * tile, tile)
-        vec[sl, _YR:_YR + 1] = jnp.sum(
-            arow * v_r - aiw * v_i, axis=1, keepdims=True
-        )
-        vec[sl, _YI:_YI + 1] = jnp.sum(
-            arow * v_i + aiw * v_r, axis=1, keepdims=True
-        )
-        vec[sl, _ACR:_ACR + 1] = jnp.sum(arow * onehot_row, axis=1, keepdims=True)
-        vec[sl, _ACI:_ACI + 1] = jnp.sum(aiw * onehot_row, axis=1, keepdims=True)
+        vec[sl, _YR:_YR + 1] = red(y_r)
+        vec[sl, _YI:_YI + 1] = red(y_i)
+        vec[sl, _ACR:_ACR + 1] = red(ac_r)
+        vec[sl, _ACI:_ACI + 1] = red(ac_i)
 
 
 @functools.partial(
@@ -241,24 +283,32 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
     pe = jnp.asarray(panel_end, jnp.int32).reshape(1, 1)
     f32 = jnp.float32
 
+    if mb % _NSPLIT != 0:
+        raise ValueError(f"mb={mb} must be divisible by {_NSPLIT}")
+    mq = mb // _NSPLIT
     kernel = functools.partial(_latrd_kernel, nb, tile)
     const = lambda g, i: (jnp.int32(0), jnp.int32(0))
+    # each quarter is its OWN operand buffer: a column slice of a bigger
+    # array is non-contiguous, so XLA materializes a distinct buffer per
+    # quarter -- which is what buys DMA concurrency (measured: streams
+    # from the same buffer serialize at ~71 GB/s; 4 distinct buffers
+    # scale ~linearly)
+    quarter_specs = [
+        pl.BlockSpec(
+            (tile, mq),
+            index_map=lambda g, i: (i, jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        )
+        for q in range(_NSPLIT)
+    ]
     pan, scal = pl.pallas_call(
         kernel,
         grid=(nb + 2, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1), index_map=const, memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (tile, mb),
-                index_map=lambda g, i: (i, jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile, mb),
-                index_map=lambda g, i: (i, jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ]
+        + quarter_specs
+        + quarter_specs,
         out_specs=[
             pl.BlockSpec((mb, 6 * nb), index_map=const, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, nb), index_map=const, memory_space=pltpu.VMEM),
@@ -278,6 +328,10 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(pe, ar_mb, ai_mb)
+    )(
+        pe,
+        *[ar_mb[:, q * mq : (q + 1) * mq] for q in range(_NSPLIT)],
+        *[ai_mb[:, q * mq : (q + 1) * mq] for q in range(_NSPLIT)],
+    )
     sl = lambda j: pan[:, j * nb : (j + 1) * nb]
     return sl(_VR), sl(_VI), sl(_WR), sl(_WI), sl(_CR), sl(_CI), scal
