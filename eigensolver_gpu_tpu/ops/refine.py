@@ -45,10 +45,10 @@ def _mm_chunked(x, y, chunk):
     return out.transpose(1, 0, 2).reshape(x.shape[0], m)
 
 
-def _sweep_eigh(a, x, eye, dt, chunk=None):
+def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked):
     eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
-    r = eye - _mm_chunked(jnp.conj(x.T), x, chunk)
-    s = _mm_chunked(jnp.conj(x.T), _mm_chunked(a, x, chunk), chunk)
+    r = eye - mm(jnp.conj(x.T), x, chunk)
+    s = mm(jnp.conj(x.T), mm(a, x, chunk), chunk)
     lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
         jnp.zeros((), dt).real.dtype
     )
@@ -60,14 +60,15 @@ def _sweep_eigh(a, x, eye, dt, chunk=None):
     safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
     e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
     e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
-    return x + _mm_chunked(x, e, chunk)
+    return x + mm(x, e, chunk)
 
 
 @highest_precision
 @functools.partial(
-    jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "mesh")
+    jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "mesh", "gemm")
 )
-def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None):
+def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None,
+                gemm="ozaki"):
     """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of
     dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype.
 
@@ -79,6 +80,12 @@ def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None):
     (and crucially the emulated-fp64 8-slice operand expansions, ~8
     bytes/element extra) then live sharded; XLA inserts the contraction
     psums.
+
+    gemm: 'ozaki' (default) runs real-fp64 sweeps as exact bf16 digit
+    gemms on the MXU (ops/ozaki.py, ~1.8x the emulated fp64 dot at
+    n=4096, same ~1e-13 accuracy); used only when unsharded (mesh=None)
+    -- the sharded path keeps the plain dot so XLA's SPMD partitioner
+    owns the contraction psums. 'emulated' forces the platform dot.
     """
     dt = a.dtype
     x = x.astype(dt)
@@ -103,8 +110,15 @@ def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None):
             n_full = 1
         else:
             n_full = sweeps
+        use_ozaki = gemm == "ozaki" and dt == jnp.float64 and mesh is None
+        if use_ozaki:
+            from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
+
+            mm = ozaki_matmul_chunked
+        else:
+            mm = _mm_chunked
         for _ in range(n_full):
-            x = _sweep_eigh(a, x, eye, dt, chunk)
+            x = _sweep_eigh(a, x, eye, dt, chunk, mm)
         # final Rayleigh quotients + column normalization
         norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=0))
         x = x / norms[None, :].astype(dt)

@@ -23,12 +23,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from eigensolver_gpu_tpu.ops.ozaki import ozaki_pmatmul_chunked
 from eigensolver_gpu_tpu.ops.planar import pmatmul, pmatmul_chunked, pH
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
-def _sweep(a, b, x, eye, eps32, chunk=None):
+def _sweep(a, b, x, eye, eps32, chunk=None, mm=pmatmul_chunked):
     """One Ogita-Aishima sweep in the dtype of its arguments.
 
     Returns (x_updated, lam): the Rayleigh quotients of the PRE-update
@@ -36,10 +37,10 @@ def _sweep(a, b, x, eye, eps32, chunk=None):
     """
     ar, _ = a
     xr, xi = x
-    bx = pmatmul_chunked(b, x, chunk)
-    ax = pmatmul_chunked(a, x, chunk)
-    xhbx = pmatmul_chunked(pH(x), bx, chunk)
-    s = pmatmul_chunked(pH(x), ax, chunk)
+    bx = mm(b, x, chunk)
+    ax = mm(a, x, chunk)
+    xhbx = mm(pH(x), bx, chunk)
+    s = mm(pH(x), ax, chunk)
     r = (eye - xhbx[0], -xhbx[1])
     lam = jnp.diagonal(s[0]) / (1.0 - jnp.diagonal(r[0]))
     denom = lam[None, :] - lam[:, None]
@@ -49,17 +50,18 @@ def _sweep(a, b, x, eye, eps32, chunk=None):
     safe = jnp.where(ok, denom, 1.0)
     e_r = jnp.where(ok, (s[0] + lam[None, :] * r[0]) / safe, r[0] / 2)
     e_i = jnp.where(ok, (s[1] + lam[None, :] * r[1]) / safe, r[1] / 2)
-    dx = pmatmul_chunked(x, (e_r, e_i), chunk)
+    dx = mm(x, (e_r, e_i), chunk)
     return (xr + dx[0], xi + dx[1]), lam
 
 
 @highest_precision
 @functools.partial(
     jax.jit,
-    static_argnames=("sweeps", "coarse_first", "final_pass", "chunk"),
+    static_argnames=("sweeps", "coarse_first", "final_pass", "chunk", "gemm"),
 )
 def refine_gevp_planar(
-    a, b, x, sweeps=2, coarse_first=True, final_pass=False, chunk=None
+    a, b, x, sweeps=2, coarse_first=True, final_pass=False, chunk=None,
+    gemm="ozaki",
 ):
     """Refine planar eigenvectors ``x`` of the pair (a, b); returns (w, x).
 
@@ -78,6 +80,11 @@ def refine_gevp_planar(
     last update (2 more fp64 matrix products). Off by default: the last
     sweep's lam is already quadratically accurate, and the post-update
     B-norms are 1 + O(err^2) by construction (the E_ii = R_ii/2 term).
+
+    gemm: 'ozaki' (default) runs the fp64 sweeps' matrix products as
+    exact bf16 digit gemms on the MXU (ops/ozaki.py; measured 2.3x the
+    emulated-fp64 planar product at n=4096, same ~1e-13 accuracy);
+    'emulated' uses the platform fp64 dot.
     """
     ar, ai = a
     xr, xi = x
@@ -98,9 +105,14 @@ def refine_gevp_planar(
         else:
             n_f64_sweeps = sweeps
         eye = jnp.eye(m, dtype=ar.dtype)
+        mm = (
+            ozaki_pmatmul_chunked
+            if gemm == "ozaki" and ar.dtype == jnp.float64
+            else pmatmul_chunked
+        )
         w = None
         for _ in range(n_f64_sweeps):
-            (xr, xi), w = _sweep(a, b, (xr, xi), eye, eps32, chunk)
+            (xr, xi), w = _sweep(a, b, (xr, xi), eye, eps32, chunk, mm)
         if not final_pass:
             return w, (xr, xi)
         # optional post-update Rayleigh quotients and B-normalization

@@ -27,21 +27,16 @@ from eigensolver_gpu_tpu.utils.tracing import trace_range
 def _pgemv(mr, mi, xr, xi):
     """(M x) for planar matrix/vector.
 
-    Stacked rhs: each real factor is read ONCE for both its products
-    (mr @ [xr xi], mi @ [xr xi]) -- as four separate gemvs XLA streams
-    the matrices twice each, and this loop is traffic-bound."""
-    x2 = jnp.stack([xr, xi], axis=1)  # (m, 2)
-    p = mr @ x2
-    q = mi @ x2
-    return p[:, 0] - q[:, 1], p[:, 1] + q[:, 0]
+    Four plain gemvs. A stacked-rhs variant (mr @ [xr xi], one read per
+    factor) measured SLOWER end to end (hetrd 549 -> 658 ms at n=4096;
+    the (m, 2)-rhs gemm lowers worse than two gemvs on this chip) --
+    recorded negative result, do not re-stack without measuring."""
+    return mr @ xr - mi @ xi, mr @ xi + mi @ xr
 
 
 def _pgemv_h(mr, mi, xr, xi):
-    """(M^H x) for planar matrix/vector (stacked rhs, see _pgemv)."""
-    x2 = jnp.stack([xr, xi], axis=1)
-    p = mr.T @ x2
-    q = mi.T @ x2
-    return p[:, 0] + q[:, 1], p[:, 1] - q[:, 0]
+    """(M^H x) for planar matrix/vector."""
+    return mr.T @ xr + mi.T @ xi, mr.T @ xi - mi.T @ xr
 
 
 def _larfg_planar(alphr, alphi, xnormsq):
