@@ -98,6 +98,15 @@ def main():
     _, ab, vs, ts = f_sbrd(a)
     band = dense_to_band(ab, b)
     t_chase = timeit("bulge_chase", lambda bd: f_chase(bd)[0], band)
+    if dt == jnp.float32:
+        from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
+
+        @jax.jit
+        def f_chase_pl(band):
+            d, e, vt, taut = bulge_chase_pallas(band, b)
+            return jnp.sum(d) + jnp.sum(e), vt, taut
+
+        timeit("bulge_chase PALLAS", lambda bd: f_chase_pl(bd)[0], band)
     _, vt, taut = f_chase(band)
     t_q2 = timeit(f"apply_q2 (m={m})", lambda *x: f_q2(*x)[0], vt, taut, y)
     t_q1 = timeit(f"apply_q1 (m={m})", lambda *x: f_q1(*x)[0], vs, ts, y)

@@ -120,7 +120,13 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
 
     # fp32 pipeline: diagonal-block-inverted solves (~30 sequential steps
     # vs n row steps; the fp64 refinement absorbs the eps*kappa forward
-    # error). fp64 path keeps pure substitution.
+    # error). fp64 path keeps pure substitution.  NEGATIVE RESULT
+    # (round 2): replacing the three solves with a full ptrinv_lower +
+    # planar gemm applies measures FASTER standalone (46 ms vs 143 ms)
+    # but 40 ms SLOWER end-to-end in this pipeline (1440 vs 1400 ms
+    # headline) -- the inverse's concat-assembled temporaries break
+    # XLA's cross-stage scheduling. Do not re-wire without measuring
+    # the full pipeline.
     if ar.dtype == jnp.float32:
         from eigensolver_gpu_tpu.ops.planar import ptrsm_left_lower_inv as _solve_l
     else:

@@ -1,0 +1,250 @@
+"""Pallas band->tridiagonal bulge chase: the whole wavefront schedule in
+ONE kernel.
+
+The XLA chase (ops/sb2st.bulge_chase) is correct but dispatch-bound: its
+~3n fori_loop steps each cost ~100 us of launch/fusion overhead against
+~1 us of VPU work, so the chase dominates the two-stage reduction
+(measured: two-stage LOSES to the one-stage column loop at fp32 because
+of it).  Here every timestep runs inside a single Mosaic kernel -- the
+sequential grid iterates over blocks of ``TB`` timesteps (streaming the
+reflector outputs per block) with a fori_loop inside, and the band
+stays VMEM-resident for the whole chase.  Per-step cost drops from the
+XLA dispatch floor to VPU arithmetic.
+
+Same schedule, storage and conventions as the XLA version (sweep v's
+chase step k applies a length-<=b reflector at rows v+1+k*b; wavefront
+t = 3v + k; slot s handles (v-s, k+3s); reflector (v,k) stored at
+vt[3v+k, k//3]) -- apply_q2 replays either version's output.
+
+Mosaic-native re-expressions (the XLA tricks don't lower in-kernel):
+
+* band strips -> dense windows uses a LOG-STEP MASKED ROLL shear
+  (the flatten/reshape stride trick needs minor-dim reshapes, which
+  Mosaic rejects): for sublane q, roll lanes right by q via 6 masked
+  power-of-two rolls, descending shifts so the circular wrap region is
+  provably empty at every stage.
+* the two-sided symmetric update never materializes the symmetric
+  window: the reflector's action decomposes over the lower trapezoid as
+  a left update on A10, the v w^T + w v^T form on tril(A11), and a
+  right update on A21, each a lane- or sublane-reduction against v.
+* lane<->sublane vector moves are pure reshapes ((S,1,b)<->(S,b,1),
+  same linear order), the one relayout Mosaic handles cheaply.
+
+fp32 only (Mosaic has no fp64 arithmetic path here); the fp64 two-stage
+path keeps the XLA chase.  Re-designs the role of the reference's hot
+loop dsytrd_gpu.F90:61-163 at its wavefront limit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shear(x, w, lanes, left):
+    """Per-sublane-index lane roll: out[s, q, l] = x[s, q, l -+ q].
+
+    Descending power-of-two masked rolls; with content width < lanes -
+    max_shift at each stage the circular wrap region is empty (see
+    module docstring).  ``left=False`` shifts row q right by q (band
+    strip -> window rows), ``left=True`` undoes it.
+    """
+    s, wq, _ = x.shape
+    q = lax.broadcasted_iota(jnp.int32, (1, wq, 1), 1)
+    shift = 1
+    while shift < w:
+        shift *= 2
+    shift //= 2
+    while shift >= 1:
+        sh = lanes - shift if left else shift
+        # static python-int shifts reach Mosaic as i64 under x64
+        rolled = pltpu.roll(x, shift=jnp.int32(sh), axis=2)
+        x = jnp.where((q & shift) != 0, rolled, x)
+        shift //= 2
+    return x
+
+
+def _chase_kernel(n, b, s_slots, stride, tb, t_total, pad_f, lanes, *refs):
+    band_in, band_out, vt_ref, tau_ref = refs
+    g = pl.program_id(0)
+    w = 2 * b
+    f1 = jnp.float32(1.0)
+
+    @pl.when(g == 0)
+    def _():
+        band_out[:, :] = band_in[:, :]
+
+    svec = lax.broadcasted_iota(jnp.int32, (s_slots, 1), 0)  # slot ids
+    lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    sub_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    tril_mask = (lane_b >= sub_b).astype(jnp.float32)  # (1, b, b) p >= q
+
+    # all scalar index math in int32: under x64, python-int promotion
+    # produces int64 scalars whose conversion Mosaic cannot lower
+    i32 = jnp.int32
+
+    def step(i, carry):
+        t = g.astype(i32) * i32(tb) + i
+        vmax = t // i32(3)
+        k0 = t - i32(3) * vmax
+        start = vmax + i32(1) + k0 * i32(b) - i32(b) + i32(pad_f)
+
+        blk = band_out[pl.ds(start, s_slots * stride), :]
+        blk3 = blk.reshape(s_slots, stride, w)
+        strip = blk3[:, :w, :]  # (S, 2b, 2b)  [q, d]
+
+        # shear to window rows: wt[s, q, p] = A[j0+p, j0+q], p = q + d
+        pad = jnp.zeros((s_slots, w, lanes - w), jnp.float32)
+        wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes, False)
+
+        # per-slot schedule
+        v_s = vmax - svec                       # (S, 1)
+        k_s = k0 + i32(3) * svec
+        r0_s = v_s + i32(1) + k_s * i32(b)
+        active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
+
+        # reflector source: window col b-1 (sweep start) or col 0
+        x0 = wt[:, b - 1, b:w]                  # (S, b)
+        x1 = wt[:, 0, b:w]
+        x = jnp.where((k_s == i32(0)) & (k0 == i32(0)), x0, x1)
+
+        # batched branch-free larfg (LAPACK dlarfg conventions)
+        alpha = x[:, 0:1]
+        xtail = x * (lane_b[0] > 0).astype(jnp.float32)
+        xnormsq = jnp.sum(xtail * xtail, axis=1, keepdims=True)
+        norm = jnp.sqrt(alpha * alpha + xnormsq)
+        beta = jnp.where(alpha >= 0, -norm, norm)
+        trivial = xnormsq == 0
+        safe_beta = jnp.where(trivial, f1, beta)
+        tau = jnp.where(trivial, 0.0, (beta - alpha) / safe_beta)
+        tau = jnp.where(active, tau, 0.0)       # (S, 1)
+        denom = jnp.where(trivial, f1, alpha - beta)
+        v = xtail / denom
+        lane0 = (lane_b[0] == 0).astype(jnp.float32)
+        v = v * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
+        beta = jnp.where(trivial, alpha, beta)
+
+        v_l = v[:, None, :]                     # (S, 1, b) lanes
+        v_sub = v_l.reshape(s_slots, b, 1)      # (S, b, 1) sublanes
+        tau3 = tau[:, :, None]                  # (S, 1, 1)
+
+        # A10 (rows I, cols [0,b)) stored transposed at wt[:, :b, b:2b]
+        a10t = wt[:, 0:b, b:w]
+        u1 = jnp.sum(a10t * v_l, axis=2, keepdims=True)       # (S, b, 1)
+        a10t = a10t - tau3 * u1 * v_l
+
+        # A11 (rows/cols I), lower part at wt[:, b:2b, b:2b]
+        l11 = wt[:, b:w, b:w] * tril_mask       # [q, p], valid p >= q
+        t1 = jnp.sum(l11 * v_sub, axis=1, keepdims=True)      # (S, 1, b)
+        # strict-upper mirror: (A11 v)[q] += sum_{p>q} W[q, p] v[p]
+        strict_gt = (lane_b > sub_b).astype(jnp.float32)      # (1, b, b)
+        t2 = jnp.sum(wt[:, b:w, b:w] * strict_gt * v_l,
+                     axis=2, keepdims=True)                   # (S, b, 1)
+        y = t1 + t2.reshape(s_slots, 1, b)                    # A11 v, lanes
+        vav = jnp.sum(y * v_l, axis=2, keepdims=True)         # (S, 1, 1)
+        wvec = tau3 * y - 0.5 * tau3 * tau3 * vav * v_l       # (S, 1, b)
+        w_sub = wvec.reshape(s_slots, b, 1)
+        upd = v_sub * wvec + w_sub * v_l                      # (S, b, b)
+        l11_new = wt[:, b:w, b:w] - upd * tril_mask
+
+        # A21 (rows [2b,3b), cols I) stored transposed at wt[:, b:2b, 2b:3b]
+        a21t = wt[:, b:w, 2 * b : 3 * b]
+        y2 = jnp.sum(a21t * v_sub, axis=1, keepdims=True)     # (S, 1, b)
+        a21t = a21t - tau3 * v_sub * y2
+
+        wt = jnp.concatenate(
+            [
+                jnp.concatenate([wt[:, 0:b, 0:b], a10t, wt[:, 0:b, 2 * b :]], axis=2),
+                jnp.concatenate([wt[:, b:w, 0:b], l11_new, a21t,
+                                 wt[:, b:w, 3 * b :]], axis=2),
+            ],
+            axis=1,
+        )
+
+        strip_new = _shear(wt, w, lanes, True)[:, :, :w]
+        blk_new = jnp.concatenate([strip_new, blk3[:, w:, :]], axis=1)
+        band_out[pl.ds(start, s_slots * stride), :] = blk_new.reshape(
+            s_slots * stride, w
+        )
+        vt_ref[pl.ds(i, 1), :, :] = v[None]
+        tau_ref[pl.ds(i, 1), :] = tau[:, 0][None]
+        return carry
+
+    lax.fori_loop(i32(0), i32(tb), step, i32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("b", "tb", "interpret"))
+def bulge_chase_pallas(band, b, tb=96, interpret=False):
+    """Pallas counterpart of ops/sb2st.bulge_chase (fp32).
+
+    band: (n, 2b) lower band storage (see sb2st.dense_to_band).
+    Returns (d, e, vt, taut) with the same timestep/slot layout as the
+    XLA chase; vt's leading dim rounds up to a multiple of ``tb`` (the
+    extra timesteps carry tau=0 and replay as no-ops).
+    """
+    n = band.shape[0]
+    w = 2 * b
+    if band.shape[1] != w:
+        raise ValueError(f"band must have 2b={w} diagonals, got {band.shape[1]}")
+    if band.dtype != jnp.float32:
+        raise TypeError("bulge_chase_pallas is fp32-only; use the XLA chase")
+    if tb % 3 != 0:
+        raise ValueError(f"tb must be a multiple of 3, got {tb}")
+    kmax = max((n - 3) // b, 0)
+    s_slots = kmax // 3 + 1
+    t_total = 3 * (n - 3) + 1 if n > 3 else 1
+    stride = 3 * b - 1
+    lanes = 128 * (-(-(4 * b - 1) // 128))
+
+    grid = -(-t_total // tb)
+    t3 = grid * tb
+    pad_f = 2 * b
+    # back padding covers the largest slot read at the largest timestep
+    # (start_max + S*stride with start_max <= (t3-1)//3 + 1 + b)
+    pad_b = s_slots * stride + w + tb // 3 + b + 4
+    npad = n + pad_f + pad_b
+    band_p = jnp.zeros((npad, w), jnp.float32)
+    band_p = lax.dynamic_update_slice(band_p, band, (pad_f, 0))
+
+    kernel = functools.partial(
+        _chase_kernel, n, b, s_slots, stride, tb, t_total, pad_f, lanes
+    )
+    const2 = lambda g: (jnp.int32(0), jnp.int32(0))
+    band_out, vt, taut = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((npad, w), index_map=const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((npad, w), index_map=const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tb, s_slots, b),
+                index_map=lambda g: (g, jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tb, s_slots),
+                index_map=lambda g: (g, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, w), jnp.float32),
+            jax.ShapeDtypeStruct((t3, s_slots, b), jnp.float32),
+            jax.ShapeDtypeStruct((t3, s_slots), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(band_p)
+    out = lax.dynamic_slice(band_out, (pad_f, 0), (n, w))
+    d = out[:, 0]
+    e = out[: n - 1, 1] if n > 1 else out[:0, 1]
+    return d, e, vt, taut

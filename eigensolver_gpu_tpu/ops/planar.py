@@ -190,6 +190,74 @@ def _ptrinv_batched(lr, li, base=16):
 
 
 @highest_precision
+@functools.partial(jax.jit, static_argnames=("base",))
+def ptrinv_lower(l, base=128):
+    """Full planar lower-triangular inverse, bottom-up batched doubling.
+
+    Level 0 inverts all n/base diagonal blocks together (one batched
+    substitution loop); level k merges pairs with the 2x2 block-inverse
+    identity inv([[A,0],[C,D]]) = [[iA,0],[-iD C iA, iD]] -- so the
+    sequential depth is a 16-step batched substitution plus log2(n/16)
+    batched-gemm levels, and a triangular solve against any rhs becomes
+    ONE planar gemm.  Forward
+    error ~eps * kappa(L) (explicit-inverse apply): used on the fp32
+    pipeline where the fp64 refinement absorbs it; the fp64 path keeps
+    substitution (ptrsm_left_lower).
+    """
+    lr, li = l
+    n = lr.shape[0]
+    if n % base != 0 or (n // base) & (n // base - 1):
+        raise ValueError(f"ptrinv requires n = base * 2^k, got n={n}, base={base}")
+    nb0 = n // base
+    diags_r = jnp.stack(
+        [lr[k * base : (k + 1) * base, k * base : (k + 1) * base] for k in range(nb0)]
+    )
+    diags_i = jnp.stack(
+        [li[k * base : (k + 1) * base, k * base : (k + 1) * base] for k in range(nb0)]
+    )
+    inv_r, inv_i = _ptrinv_batched(diags_r, diags_i)
+    size = base
+    while size < n:
+        pairs = n // (2 * size)
+        ia_r, ia_i = inv_r[0::2], inv_i[0::2]
+        id_r, id_i = inv_r[1::2], inv_i[1::2]
+        cr = jnp.stack(
+            [
+                lr[(2 * p + 1) * size : (2 * p + 2) * size, 2 * p * size : (2 * p + 1) * size]
+                for p in range(pairs)
+            ]
+        )
+        ci = jnp.stack(
+            [
+                li[(2 * p + 1) * size : (2 * p + 2) * size, 2 * p * size : (2 * p + 1) * size]
+                for p in range(pairs)
+            ]
+        )
+        # M = iD @ C @ iA
+        t_r = jnp.einsum("bij,bjk->bik", cr, ia_r) - jnp.einsum("bij,bjk->bik", ci, ia_i)
+        t_i = jnp.einsum("bij,bjk->bik", cr, ia_i) + jnp.einsum("bij,bjk->bik", ci, ia_r)
+        m_r = jnp.einsum("bij,bjk->bik", id_r, t_r) - jnp.einsum("bij,bjk->bik", id_i, t_i)
+        m_i = jnp.einsum("bij,bjk->bik", id_r, t_i) + jnp.einsum("bij,bjk->bik", id_i, t_r)
+        z_r = jnp.zeros_like(m_r)
+        inv_r = jnp.concatenate(
+            [
+                jnp.concatenate([ia_r, z_r], axis=2),
+                jnp.concatenate([-m_r, id_r], axis=2),
+            ],
+            axis=1,
+        )
+        inv_i = jnp.concatenate(
+            [
+                jnp.concatenate([ia_i, z_r], axis=2),
+                jnp.concatenate([-m_i, id_i], axis=2),
+            ],
+            axis=1,
+        )
+        size *= 2
+    return inv_r[0], inv_i[0]
+
+
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("nb",))
 def ptrsm_left_lower_inv(l, b, nb=128):
     """L X = B via batched-inverted diagonal blocks + blocked forward

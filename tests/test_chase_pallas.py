@@ -1,0 +1,63 @@
+"""Pallas bulge chase vs the XLA chase (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
+from eigensolver_gpu_tpu.ops.sb2st import (
+    apply_q2,
+    band_to_dense,
+    bulge_chase,
+    dense_to_band,
+)
+
+
+def _rand_band(rng, n, b):
+    t = rng.standard_normal((n, n)).astype(np.float32)
+    a = (t + t.T) / 2
+    mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+    return a * mask
+
+
+@pytest.mark.parametrize("n,b", [(24, 4), (40, 8)])
+def test_chase_pallas_matches_xla(n, b):
+    rng = np.random.default_rng(0)
+    a = _rand_band(rng, n, b)
+    band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    d0, e0, vt0, tau0 = bulge_chase(band, b)
+    d1, e1, vt1, tau1 = bulge_chase_pallas(band, b, tb=6, interpret=True)
+    # the decomposed-trapezoid update sums in a different order than the
+    # XLA dense-window einsums, so fp32 round-off drifts across the
+    # sequential steps: compare at drift tolerance, correctness is
+    # pinned by the spectrum/replay test below
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(e1)), np.abs(np.asarray(e0)), rtol=2e-3, atol=2e-3
+    )
+    # tau=0 padding beyond the XLA chase's timestep count
+    t0 = vt0.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(tau1)[:t0], np.asarray(tau0), rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(np.asarray(tau1)[t0:], 0.0)
+
+
+def test_chase_pallas_spectrum_and_replay():
+    n, b = 32, 4
+    rng = np.random.default_rng(1)
+    a = _rand_band(rng, n, b)
+    band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    d, e, vt, taut = bulge_chase_pallas(band, b, tb=9, interpret=True)
+    import scipy.linalg
+
+    w_ref = np.sort(scipy.linalg.eigvalsh(a))
+    tri = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1) + np.diag(np.asarray(e), -1)
+    w = np.sort(scipy.linalg.eigvalsh(tri))
+    np.testing.assert_allclose(w, w_ref, rtol=1e-4, atol=1e-4)
+    # full similarity: Q2 replay applied to the tridiagonal eigenvectors
+    wt, q = scipy.linalg.eigh(tri)
+    z = np.asarray(apply_q2(vt, taut, jnp.asarray(q.astype(np.float32)), n, b))
+    resid = a @ z - z * wt[None, :]
+    assert np.abs(resid).max() < 5e-4

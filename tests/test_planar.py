@@ -108,3 +108,18 @@ def test_ptrsm_inverted_diag_blocks():
     x = from_planar(ptrsm_left_lower_inv(to_planar(l), to_planar(b), nb=nb))
     x_ref = scipy.linalg.solve_triangular(l, b, lower=True)
     np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_ptrinv_lower_full():
+    from eigensolver_gpu_tpu.ops.planar import pmatmul, ptrinv_lower
+
+    rng = np.random.default_rng(8)
+    for n, base in ((256, 64), (96, 96)):
+        l = np.tril(_rand_c(rng, n, n)) + n * np.eye(n)
+        inv = from_planar(ptrinv_lower(to_planar(l), base=base))
+        np.testing.assert_allclose(inv @ l, np.eye(n), rtol=0, atol=1e-12)
+        # a solve is one planar gemm
+        b = _rand_c(rng, n, 17)
+        x = from_planar(pmatmul(ptrinv_lower(to_planar(l), base=base), to_planar(b)))
+        x_ref = scipy.linalg.solve_triangular(l, b, lower=True)
+        np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-10)
