@@ -66,6 +66,35 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     a = _from_upper(a)
     b = _from_upper(b)
 
+    mixed = cfg.compute_dtype == "float32" and a.dtype == jnp.float64
+    if mixed:
+        # Full-fp32 generalized pipeline + fp64 generalized Ogita-
+        # Aishima refinement (ops/refine.refine_gevp) -- the real twin
+        # of the planar mixed driver.  Previously only phase 3 ran in
+        # fp32 while Cholesky/sygst/back-substitution paid the emulated
+        # fp64 rate; refining the generalized pair directly moves every
+        # O(n^3) stage onto the fp32 MXU path.
+        from eigensolver_gpu_tpu.ops.refine import refine_gevp
+
+        inner = SolverConfig(
+            nb_sygst=cfg.nb_sygst, nb_tridiag=cfg.nb_tridiag,
+            nb_back=cfg.nb_back, stedc_leaf=cfg.stedc_leaf,
+            sygst_mode=cfg.sygst_mode, use_pallas=cfg.use_pallas,
+            tridiag_mode=cfg.tridiag_mode, band=cfg.band,
+            two_stage_min_n=cfg.two_stage_min_n,
+        )
+        w32, z32, info = sygvdx(
+            a.astype(jnp.float32), b.astype(jnp.float32), il=1, iu=n, cfg=inner
+        )
+        chunk = 2048 if n >= 8192 else None
+        w, z = refine_gevp(
+            a, b, z32.astype(a.dtype), sweeps=cfg.refine_iters, chunk=chunk
+        )
+        order = jnp.argsort(w)
+        w = w[order]
+        z = z[:, order]
+        return SygvdxResult(w=w[il - 1 : iu], z=z[:, il - 1 : iu], info=info)
+
     # XLA's whole-matrix triangular solve keeps O(n) full-width block
     # temps alive, which OOMs a single chip at n >= 8192 (measured);
     # the blocked recurrence is memory-frugal there.

@@ -94,7 +94,7 @@ def ozaki_slice(a, axis, dbits, nslice):
     return jnp.stack(digits), e.squeeze(1 - axis).astype(jnp.int32)
 
 
-def _pair_dots(da, db, nslice):
+def _pair_dots(da, db, nslice, transpose_lhs=False):
     """All digit-pair gemms grouped by diagonal d = i + j < nslice.
 
     Returns a list of f32 products, one per diagonal, each the exact
@@ -102,20 +102,42 @@ def _pair_dots(da, db, nslice):
     in f32: each pair result is an exact integer < 2^24, and the <=
     nslice-term sum adds at most ~nslice ulp at 2^{ceil(log2 nslice)+24}
     -- far below the diagonal's own weight in the combine).
+
+    transpose_lhs: contract axis 0 of the lhs digits instead of axis 1
+    -- computes lhs^T @ rhs from UNtransposed slices, so one slicing of
+    X serves both X-as-rhs and X^H-as-lhs products (the per-column
+    scales of X are the per-row scales of X^T).
     """
+    dims = (((0,), (0,)), ((), ())) if transpose_lhs else (((1,), (0,)), ((), ()))
     prods = []
     for d in range(nslice):
         acc = None
         for i in range(max(0, d - (nslice - 1)), min(d, nslice - 1) + 1):
-            p = lax.dot(
+            p = lax.dot_general(
                 da[i],
                 db[d - i],
+                dimension_numbers=dims,
                 precision=lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32,
             )
             acc = p if acc is None else acc + p
         prods.append(acc)
     return prods
+
+
+def ozaki_matmul_pre(pa, pb, dbits, transpose_lhs=False, negate=False):
+    """Product from pre-computed slicings (see ozaki_slice).
+
+    pa = (digits, e) sliced with axis=0 (row scales) -- or, with
+    transpose_lhs, sliced with axis=1 (the transposed operand's row
+    scales); pb sliced with axis=1.
+    """
+    da, ea = pa
+    db, eb = pb
+    nslice = da.shape[0]
+    prods = _pair_dots(da, db, nslice, transpose_lhs)
+    out = _combine(prods, ea, eb, dbits)
+    return -out if negate else out
 
 
 @functools.partial(jax.jit, static_argnames=("dbits", "nslice", "bits"))
@@ -185,4 +207,35 @@ def ozaki_pmatmul_chunked(x, y, chunk=None, bits=48):
     m1 = ozaki_matmul_chunked(x[0], y[0], chunk, bits)
     m2 = ozaki_matmul_chunked(x[1], y[1], chunk, bits)
     m3 = ozaki_matmul_chunked(x[0] + x[1], y[0] + y[1], chunk, bits)
+    return (m1 - m2, m3 - m1 - m2)
+
+
+def ozaki_planar_slices(p, axis, dbits, nslice, conj=False):
+    """Karatsuba component slicings of a planar pair.
+
+    Returns slicings of (Re, Im, Re+Im) -- or (Re, Im, Re-Im) with
+    ``conj`` (for a conjugated lhs, whose Karatsuba components are
+    (Re, -Im, Re-Im); the Im negation is applied at combine time by
+    ozaki_pmatmul_pre's conj_lhs flag, digits are sign-symmetric).
+    """
+    third = p[0] - p[1] if conj else p[0] + p[1]
+    return (
+        ozaki_slice(p[0], axis, dbits, nslice),
+        ozaki_slice(p[1], axis, dbits, nslice),
+        ozaki_slice(third, axis, dbits, nslice),
+    )
+
+
+def ozaki_pmatmul_pre(lhs3, rhs3, dbits, transpose_lhs=False, conj_lhs=False):
+    """Planar Karatsuba product from pre-computed component slicings.
+
+    lhs3/rhs3 from ozaki_planar_slices (lhs axis=0, or axis=1 with
+    transpose_lhs; rhs axis=1). conj_lhs computes conj(L)^T-style
+    products: (u1 + i u2)(Yr + i Yi) with u2 = -Im.
+    """
+    m1 = ozaki_matmul_pre(lhs3[0], rhs3[0], dbits, transpose_lhs)
+    m2 = ozaki_matmul_pre(
+        lhs3[1], rhs3[1], dbits, transpose_lhs, negate=conj_lhs
+    )
+    m3 = ozaki_matmul_pre(lhs3[2], rhs3[2], dbits, transpose_lhs)
     return (m1 - m2, m3 - m1 - m2)

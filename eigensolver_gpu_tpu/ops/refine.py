@@ -63,6 +63,71 @@ def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked):
     return x + mm(x, e, chunk)
 
 
+def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked):
+    """One generalized Ogita-Aishima sweep: R = I - X^H B X, S = X^H A X
+    (see ops/refine_planar.py for the derivation); returns (x', lam)."""
+    eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
+    bx = mm(b, x, chunk)
+    ax = mm(a, x, chunk)
+    r = eye - mm(jnp.conj(x.T), bx, chunk)
+    s = mm(jnp.conj(x.T), ax, chunk)
+    lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
+        jnp.zeros((), dt).real.dtype
+    )
+    denom = lam[None, :] - lam[:, None]
+    anorm = jnp.max(jnp.abs(lam))
+    sep = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
+    ok = jnp.abs(denom) > sep
+    safe = jnp.where(ok, denom, jnp.ones((), lam.dtype))
+    e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
+    e = jnp.where(ok, e_sep, r / 2)
+    return x + mm(x, e, chunk), lam
+
+
+@highest_precision
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "gemm")
+)
+def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None, gemm="ozaki"):
+    """Refine generalized eigenpairs of (a, b) from approximate
+    B-orthonormal eigenvectors ``x`` (n x n for full refinement).
+
+    The real/complex-dtype counterpart of refine_gevp_planar: lets the
+    ENTIRE fp32 generalized pipeline (Cholesky, sygst, tridiagonal,
+    stedc, back-substitution) be refined in one step against the fp64
+    (A, B) -- the reference has no analogue (V100 fp64 units make its
+    all-fp64 pipeline fast; the TPU MXU path earns fp64 back here).
+    gemm='ozaki' runs real-fp64 sweeps via exact bf16 digit products
+    (ops/ozaki.py).
+    """
+    dt = a.dtype
+    x = x.astype(dt)
+    eye = jnp.eye(x.shape[1], dtype=dt)
+    is64 = jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64
+
+    with trace_range("refine_gevp"):
+        if coarse_first and sweeps > 1 and is64:
+            lo = jnp.complex64 if jnp.issubdtype(dt, jnp.complexfloating) else jnp.float32
+            a32, b32, x32 = a.astype(lo), b.astype(lo), x.astype(lo)
+            eye32 = eye.astype(lo)
+            for _ in range(sweeps - 1):
+                x32, _ = _sweep_gevp(a32, b32, x32, eye32, lo)
+            x = x32.astype(dt)
+            n_full = 1
+        else:
+            n_full = sweeps
+        if gemm == "ozaki" and dt == jnp.float64:
+            from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
+
+            mm = ozaki_matmul_chunked
+        else:
+            mm = _mm_chunked
+        w = None
+        for _ in range(n_full):
+            x, w = _sweep_gevp(a, b, x, eye, dt, chunk, mm)
+        return w, x
+
+
 @highest_precision
 @functools.partial(
     jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "mesh", "gemm")

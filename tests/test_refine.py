@@ -43,3 +43,20 @@ def test_dsygvdx_mixed_precision():
     w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
     assert np.allclose(np.asarray(w), w_ref[:24], atol=1e-9 * n)
     assert ge_residual(a, b, np.asarray(w), np.asarray(z)) < 1e-11
+
+
+def test_refine_gevp_recovers_fp64():
+    """fp32-quality generalized eigenpairs refined to fp64 residuals
+    against the fp64 (A, B) pair directly (ops/refine.refine_gevp)."""
+    n = 96
+    a, b = random_spd_pair(n, seed=55)
+    w32, x32 = scipy.linalg.eigh(a.astype(np.float32), b.astype(np.float32))
+    from eigensolver_gpu_tpu.ops.refine import refine_gevp
+
+    w, x = refine_gevp(a, b, x32.astype(np.float64), sweeps=2)
+    w, x = np.asarray(w), np.asarray(x)
+    res = np.max(np.abs(a @ x - b @ x * w[None, :]))
+    assert res < 1e-12 * n
+    # B-orthonormality restored by the E_ii = R_ii/2 term
+    assert np.max(np.abs(x.T @ b @ x - np.eye(n))) < 1e-11 * n
+    assert np.allclose(w, scipy.linalg.eigh(a, b, eigvals_only=True), atol=1e-11 * n)
