@@ -97,7 +97,16 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
 
         npad = a_p.shape[0]
         ab, vs, ts = sbrd(a_p, band=cfg.band, bucket=512)
-        d, e, vt, taut = bulge_chase(dense_to_band(ab, cfg.band), cfg.band)
+        band = dense_to_band(ab, cfg.band)
+        # Mosaic chase (one kernel for all 3n timesteps, measured 4.6x
+        # the XLA fori_loop chase) on fp32 TPU runs; the XLA chase
+        # remains for fp64 (no Mosaic fp64) and CPU tests.
+        if band.dtype == jnp.float32 and jax.default_backend() != "cpu":
+            from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
+
+            d, e, vt, taut = bulge_chase_pallas(band, cfg.band)
+        else:
+            d, e, vt, taut = bulge_chase(band, cfg.band)
 
         def back(z):
             return apply_q1(vs, ts, apply_q2(vt, taut, z, npad, cfg.band))
