@@ -243,9 +243,32 @@ def _shift_rows(x, step, out_w):
     return y[..., :out_w]
 
 
+def _triu_inv_doubling(t, base=16):
+    """Batched upper-triangular inverse by block doubling (log depth).
+
+    XLA's batched triangular_solve substitutes row-by-row; for the
+    g x g compact-WY T factors (g up to 128) a doubled inverse plus one
+    gemm measures faster inside the wave loop.
+    """
+    k = t.shape[-1]
+    if k <= base:
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=t.dtype), t.shape)
+        return lax.linalg.triangular_solve(
+            t, eye, left_side=True, lower=False
+        )
+    h = k // 2
+    ia = _triu_inv_doubling(t[..., :h, :h], base)
+    id_ = _triu_inv_doubling(t[..., h:, h:], base)
+    c = t[..., :h, h:]
+    m = -jnp.einsum("...ij,...jk,...kl->...il", ia, c, id_)
+    top = jnp.concatenate([ia, m], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(m).swapaxes(-1, -2), id_], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("b", "g", "n"))
-def apply_q2(vt, taut, y, n, b, g=None):
+@functools.partial(jax.jit, static_argnames=("b", "g", "n", "tsolve"))
+def apply_q2(vt, taut, y, n, b, g=None, tsolve="solve"):
     """y <- Q2 y where Q2 is the accumulated bulge-chase transform
     (band = Q2^T A_band Q2). y is (n, m); reflectors from bulge_chase.
 
@@ -263,6 +286,10 @@ def apply_q2(vt, taut, y, n, b, g=None):
     (_shift_rows)."""
     if g is None:
         g = b
+    # the wave schedule's disjointness/ordering argument needs
+    # g <= 2b (verified empirically: g=96,128 at b=32 corrupt the
+    # replay; g <= 64 matches the scalar path)
+    g = min(g, 2 * b)
     t3, s_slots, _ = vt.shape
     m = y.shape[1]
     dtype = y.dtype
@@ -355,7 +382,10 @@ def apply_q2(vt, taut, y, n, b, g=None):
         vtv = jnp.einsum("urs,urt->ust", vw, vw)
         tinv = jnp.triu(vtv, 1) + eye_g[None] / tsafe[:, :, None]
         u_m = jnp.einsum("urs,urm->usm", vw, yw)
-        x = jax.scipy.linalg.solve_triangular(tinv, u_m, lower=False)
+        if tsolve == "inv":
+            x = jnp.einsum("ust,utm->usm", _triu_inv_doubling(tinv), u_m)
+        else:
+            x = jax.scipy.linalg.solve_triangular(tinv, u_m, lower=False)
         yw = yw - jnp.einsum("urs,usm->urm", vw, x)
         yw_all = yw_all.at[:, :l_win].set(yw)
         return lax.dynamic_update_slice(

@@ -3,6 +3,7 @@ and the full two-stage pipeline (sbrd -> bulge_chase -> replay)."""
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from eigensolver_gpu_tpu.ops.sb2st import (
     apply_q2,
@@ -82,3 +83,21 @@ def test_two_stage_end_to_end(n, b):
     assert np.allclose(w, w_ref, atol=1e-11 * n)
     assert np.abs(a @ z - z * w[None, :]).max() < 1e-11 * n
     assert np.abs(z.T @ z - np.eye(n)).max() < 1e-11 * n
+
+
+@pytest.mark.parametrize("g", [64, 96, 128])
+def test_apply_q2_large_g_clamped(g):
+    """g > 2b corrupts the wave schedule's ordering argument; apply_q2
+    clamps to 2b (bug found round 2: g=96/128 at b=32 silently produced
+    wrong replays on sizes where windows overlap across waves)."""
+    n, b = 256, 16
+    rng = np.random.default_rng(7)
+    t = rng.standard_normal((n, n)).astype(np.float32)
+    a_full = (t + t.T) / 2
+    mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+    band = dense_to_band(jnp.asarray(a_full * mask, jnp.float32), b)
+    d, e, vt, taut = bulge_chase(band, b)
+    y = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    z1 = np.asarray(apply_q2(vt, taut, y, n, b, g=1))
+    z = np.asarray(apply_q2(vt, taut, y, n, b, g=g))
+    np.testing.assert_allclose(z, z1, rtol=5e-4, atol=5e-4)
