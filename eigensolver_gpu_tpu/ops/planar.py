@@ -341,6 +341,13 @@ def ptrsm_left_lower(l, b, nb=128):
     return lax.fori_loop(0, nblocks, body, x0)
 
 
+def _chol_segments(nblocks, nseg=4):
+    """Split [0, nblocks) into <= nseg contiguous block ranges."""
+    nseg = min(nseg, nblocks)
+    bounds = [round(s * nblocks / nseg) for s in range(nseg + 1)]
+    return [(lo, hi) for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+
+
 def ptrsm_left_upper(u, b, nb=128):
     """Solve U X = B with planar upper-triangular U via the flip identity
     (P U P is lower triangular for the reversal permutation P)."""
@@ -404,47 +411,58 @@ def pcholesky_lower(b, nb=128):
     if n % nb != 0:
         raise ValueError(f"pcholesky requires n % nb == 0, got n={n}, nb={nb}")
     nblocks = n // nb
-    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
-    def body(k, carry):
-        lr, li, fail = carry
-        k0 = k * nb
-        # panel = B[:, k-block] - L[:, :k0] @ L[k-block, :k0]^H
-        lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, n))
-        lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, n))
-        mask = (rows < k0)[None, :]
-        lrow_r = jnp.where(mask, lrow_r, 0.0)
-        lrow_i = jnp.where(mask, lrow_i, 0.0)
-        # corr = L[:, :k0] @ conj(L[k-block, :k0])^T  (masked full-width gemm)
-        lm_r = jnp.where((rows < k0)[None, :], lr, 0.0)
-        lm_i = jnp.where((rows < k0)[None, :], li, 0.0)
-        corr_r = lm_r @ lrow_r.T + lm_i @ lrow_i.T  # (n, nb)
-        corr_i = lm_i @ lrow_r.T - lm_r @ lrow_i.T
-        pan_r = lax.dynamic_slice(br, (0, k0), (n, nb)) - corr_r
-        pan_i = lax.dynamic_slice(bi, (0, k0), (n, nb)) - corr_i
-        diag_r = lax.dynamic_slice(pan_r, (k0, 0), (nb, nb))
-        diag_i = lax.dynamic_slice(pan_i, (k0, 0), (nb, nb))
-        ld_r, ld_i, blk_fail = _pchol_base(diag_r, diag_i, nb)
-        # devInfo semantics: 1-based global column of the FIRST bad pivot
-        fail = jnp.where(
-            (fail == 0) & (blk_fail > 0), jnp.int32(k0) + blk_fail, fail
-        )
-        # subdiagonal panel: X L_d^H = pan  =>  L_d conj(X^T) = conj(pan^T)
-        sub_r, sub_i = _fsub_base(
-            ld_r, ld_i, pan_r.T, -pan_i.T, nb
-        )  # solves L_d Y = conj(pan)^T; then X = conj(Y)^T
-        x_r = sub_r.T
-        x_i = -sub_i.T
-        below = (rows >= k0 + nb)[:, None]
-        blk_r = jnp.where(below, x_r, 0.0)
-        blk_i = jnp.where(below, x_i, 0.0)
-        blk_r = lax.dynamic_update_slice(blk_r, ld_r, (k0, 0))
-        blk_i = lax.dynamic_update_slice(blk_i, ld_i, (k0, 0))
-        lr = lax.dynamic_update_slice(lr, blk_r, (0, k0))
-        li = lax.dynamic_update_slice(li, blk_i, (0, k0))
-        return lr, li, fail
+    def make_body(r0, w):
+        """Loop body for blocks whose correction reads cols [0, w) and
+        whose panel spans rows [r0, n) -- segment-bucketed so the
+        left-looking gemms shrink with the triangle instead of running
+        full-width masked (measured ~86 ms at n=4096; the 4-segment
+        bucketing cuts the gemm area ~2x)."""
+        nr = n - r0
+        rows = r0 + lax.broadcasted_iota(jnp.int32, (nr, 1), 0).squeeze(-1)
 
-    lr0 = jnp.zeros_like(br)
-    li0 = jnp.zeros_like(bi)
-    lr, li, fail = lax.fori_loop(0, nblocks, body, (lr0, li0, jnp.int32(0)))
+        def body(k, carry):
+            lr, li, fail = carry
+            k0 = k * nb
+            # panel = B[:, k-block] - L[:, :k0] @ L[k-block, :k0]^H
+            lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, w))
+            lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, w))
+            cmask = (lax.broadcasted_iota(jnp.int32, (1, w), 1) < k0)
+            lrow_r = jnp.where(cmask, lrow_r, 0.0)
+            lrow_i = jnp.where(cmask, lrow_i, 0.0)
+            lm_r = jnp.where(cmask, lax.dynamic_slice(lr, (r0, 0), (nr, w)), 0.0)
+            lm_i = jnp.where(cmask, lax.dynamic_slice(li, (r0, 0), (nr, w)), 0.0)
+            corr_r = lm_r @ lrow_r.T + lm_i @ lrow_i.T  # (nr, nb)
+            corr_i = lm_i @ lrow_r.T - lm_r @ lrow_i.T
+            pan_r = lax.dynamic_slice(br, (r0, k0), (nr, nb)) - corr_r
+            pan_i = lax.dynamic_slice(bi, (r0, k0), (nr, nb)) - corr_i
+            diag_r = lax.dynamic_slice(pan_r, (k0 - r0, 0), (nb, nb))
+            diag_i = lax.dynamic_slice(pan_i, (k0 - r0, 0), (nb, nb))
+            ld_r, ld_i, blk_fail = _pchol_base(diag_r, diag_i, nb)
+            # devInfo semantics: 1-based global column of FIRST bad pivot
+            fail = jnp.where(
+                (fail == 0) & (blk_fail > 0), jnp.int32(k0) + blk_fail, fail
+            )
+            # subdiagonal panel: X L_d^H = pan  =>  L_d conj(X^T) = conj(pan^T)
+            sub_r, sub_i = _fsub_base(
+                ld_r, ld_i, pan_r.T, -pan_i.T, nb
+            )  # solves L_d Y = conj(pan)^T; then X = conj(Y)^T
+            x_r = sub_r.T
+            x_i = -sub_i.T
+            below = (rows >= k0 + nb)[:, None]
+            blk_r = jnp.where(below, x_r, 0.0)
+            blk_i = jnp.where(below, x_i, 0.0)
+            blk_r = lax.dynamic_update_slice(blk_r, ld_r, (k0 - r0, 0))
+            blk_i = lax.dynamic_update_slice(blk_i, ld_i, (k0 - r0, 0))
+            lr = lax.dynamic_update_slice(lr, blk_r, (r0, k0))
+            li = lax.dynamic_update_slice(li, blk_i, (r0, k0))
+            return lr, li, fail
+
+        return body
+
+    carry = (jnp.zeros_like(br), jnp.zeros_like(bi), jnp.int32(0))
+    for lo, hi in _chol_segments(nblocks):
+        w = max(hi - 1, 1) * nb  # correction cols < k0 <= (hi-1)*nb
+        carry = lax.fori_loop(lo, hi, make_body(lo * nb, w), carry)
+    lr, li, fail = carry
     return (lr, li), fail

@@ -45,7 +45,7 @@ def _mm_chunked(x, y, chunk):
     return out.transpose(1, 0, 2).reshape(x.shape[0], m)
 
 
-def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked):
+def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
     eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
     r = eye - mm(jnp.conj(x.T), x, chunk)
     s = mm(jnp.conj(x.T), mm(a, x, chunk), chunk)
@@ -60,10 +60,10 @@ def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked):
     safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
     e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
     e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
-    return x + mm(x, e, chunk)
+    return x + (mm_dx or mm)(x, e, chunk)
 
 
-def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked):
+def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
     """One generalized Ogita-Aishima sweep: R = I - X^H B X, S = X^H A X
     (see ops/refine_planar.py for the derivation); returns (x', lam)."""
     eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
@@ -81,7 +81,10 @@ def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked):
     safe = jnp.where(ok, denom, jnp.ones((), lam.dtype))
     e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
     e = jnp.where(ok, e_sep, r / 2)
-    return x + mm(x, e, chunk), lam
+    # correction product at reduced digit count: ozaki error is
+    # relative to |E|, below the sweep's own O(|E|^2) term (see
+    # ops/refine_planar._sweep_ozaki)
+    return x + (mm_dx or mm)(x, e, chunk), lam
 
 
 @highest_precision
@@ -120,11 +123,13 @@ def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None, gemm="ozaki"):
             from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
 
             mm = ozaki_matmul_chunked
+            mm_dx = functools.partial(ozaki_matmul_chunked, bits=28)
         else:
             mm = _mm_chunked
+            mm_dx = None
         w = None
         for _ in range(n_full):
-            x, w = _sweep_gevp(a, b, x, eye, dt, chunk, mm)
+            x, w = _sweep_gevp(a, b, x, eye, dt, chunk, mm, mm_dx)
         return w, x
 
 
@@ -180,10 +185,12 @@ def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None,
             from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
 
             mm = ozaki_matmul_chunked
+            mm_dx = functools.partial(ozaki_matmul_chunked, bits=28)
         else:
             mm = _mm_chunked
+            mm_dx = None
         for _ in range(n_full):
-            x = _sweep_eigh(a, x, eye, dt, chunk, mm)
+            x = _sweep_eigh(a, x, eye, dt, chunk, mm, mm_dx)
         # final Rayleigh quotients + column normalization
         norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=0))
         x = x / norms[None, :].astype(dt)
