@@ -267,6 +267,7 @@ def ptrsm_left_lower_inv(l, b, nb=128):
     lr, li = l
     br, bi = b
     n = lr.shape[0]
+    m = br.shape[1]
     if n % nb != 0:
         raise ValueError(f"ptrsm requires n % nb == 0, got n={n}, nb={nb}")
     nblocks = n // nb
@@ -274,30 +275,40 @@ def ptrsm_left_lower_inv(l, b, nb=128):
     diags_r = jnp.stack([lr[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb] for k in range(nblocks)])
     diags_i = jnp.stack([li[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb] for k in range(nblocks)])
     inv_r, inv_i = _ptrinv_batched(diags_r, diags_i)
-    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
-    def body(k, x):
-        xr, xi = x
-        k0 = k * nb
-        lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, n))
-        lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, n))
-        mask = (rows < k0)[None, :]
-        lrow_r = jnp.where(mask, lrow_r, 0.0)
-        lrow_i = jnp.where(mask, lrow_i, 0.0)
-        acc_r = lrow_r @ xr - lrow_i @ xi
-        acc_i = lrow_r @ xi + lrow_i @ xr
-        rhs_r = lax.dynamic_slice(br, (k0, 0), (nb, br.shape[1])) - acc_r
-        rhs_i = lax.dynamic_slice(bi, (k0, 0), (nb, bi.shape[1])) - acc_i
-        ir = lax.dynamic_slice(inv_r, (k, 0, 0), (1, nb, nb))[0]
-        ii = lax.dynamic_slice(inv_i, (k, 0, 0), (1, nb, nb))[0]
-        sol_r = ir @ rhs_r - ii @ rhs_i
-        sol_i = ir @ rhs_i + ii @ rhs_r
-        xr = lax.dynamic_update_slice(xr, sol_r, (k0, 0))
-        xi = lax.dynamic_update_slice(xi, sol_i, (k0, 0))
-        return xr, xi
+    def make_body(w):
+        # segment-bucketed correction gemms: block k's correction only
+        # reads solved rows < k0 <= w (see pcholesky_lower; full-width
+        # masking wastes ~2x gemm area)
+        def body(k, x):
+            xr, xi = x
+            k0 = k * nb
+            lrow_r = lax.dynamic_slice(lr, (k0, 0), (nb, w))
+            lrow_i = lax.dynamic_slice(li, (k0, 0), (nb, w))
+            cmask = lax.broadcasted_iota(jnp.int32, (1, w), 1) < k0
+            lrow_r = jnp.where(cmask, lrow_r, 0.0)
+            lrow_i = jnp.where(cmask, lrow_i, 0.0)
+            xr_w = lax.dynamic_slice(xr, (0, 0), (w, m))
+            xi_w = lax.dynamic_slice(xi, (0, 0), (w, m))
+            acc_r = lrow_r @ xr_w - lrow_i @ xi_w
+            acc_i = lrow_r @ xi_w + lrow_i @ xr_w
+            rhs_r = lax.dynamic_slice(br, (k0, 0), (nb, m)) - acc_r
+            rhs_i = lax.dynamic_slice(bi, (k0, 0), (nb, m)) - acc_i
+            ir = lax.dynamic_slice(inv_r, (k, 0, 0), (1, nb, nb))[0]
+            ii = lax.dynamic_slice(inv_i, (k, 0, 0), (1, nb, nb))[0]
+            sol_r = ir @ rhs_r - ii @ rhs_i
+            sol_i = ir @ rhs_i + ii @ rhs_r
+            xr = lax.dynamic_update_slice(xr, sol_r, (k0, 0))
+            xi = lax.dynamic_update_slice(xi, sol_i, (k0, 0))
+            return xr, xi
 
-    x0 = (jnp.zeros_like(br), jnp.zeros_like(bi))
-    return lax.fori_loop(0, nblocks, body, x0)
+        return body
+
+    x = (jnp.zeros_like(br), jnp.zeros_like(bi))
+    for lo, hi in _chol_segments(nblocks):
+        w = max(hi - 1, 1) * nb
+        x = lax.fori_loop(lo, hi, make_body(w), x)
+    return x
 
 
 @highest_precision
