@@ -268,7 +268,7 @@ def _triu_inv_doubling(t, base=16):
 
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("b", "g", "n", "tsolve"))
-def apply_q2(vt, taut, y, n, b, g=None, tsolve="solve"):
+def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
     """y <- Q2 y where Q2 is the accumulated bulge-chase transform
     (band = Q2^T A_band Q2). y is (n, m); reflectors from bulge_chase.
 
@@ -381,12 +381,23 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="solve"):
         yw = yw_all[:, :l_win]
         vtv = jnp.einsum("urs,urt->ust", vw, vw)
         tinv = jnp.triu(vtv, 1) + eye_g[None] / tsafe[:, :, None]
-        u_m = jnp.einsum("urs,urm->usm", vw, yw)
-        if tsolve == "inv":
-            x = jnp.einsum("ust,utm->usm", _triu_inv_doubling(tinv), u_m)
+        if tsolve == "qform":
+            # explicit window orthogonal Q = I - V T^-1 V^T, applied as
+            # ONE batched (l_win x l_win) gemm: the skinny WY factors
+            # (K=l_win, M=g) run the MXU at ~(g/128)(l_win/128)
+            # utilization; the square form doubles M and folds the
+            # three passes over yw into one.
+            tv = jnp.einsum("ust,urt->usr", _triu_inv_doubling(tinv), vw)
+            qw = -jnp.einsum("urs,usq->urq", vw, tv)
+            qw = qw + jnp.broadcast_to(jnp.eye(l_win, dtype=dtype), qw.shape)
+            yw = jnp.einsum("uqr,urm->uqm", qw, yw)
         else:
-            x = jax.scipy.linalg.solve_triangular(tinv, u_m, lower=False)
-        yw = yw - jnp.einsum("urs,usm->urm", vw, x)
+            u_m = jnp.einsum("urs,urm->usm", vw, yw)
+            if tsolve == "inv":
+                x = jnp.einsum("ust,utm->usm", _triu_inv_doubling(tinv), u_m)
+            else:
+                x = jax.scipy.linalg.solve_triangular(tinv, u_m, lower=False)
+            yw = yw - jnp.einsum("urs,usm->urm", vw, x)
         yw_all = yw_all.at[:, :l_win].set(yw)
         return lax.dynamic_update_slice(
             y_p, yw_all.reshape(span, m), (base, 0)
