@@ -14,6 +14,7 @@ device-side scalar checksum and only that scalar is materialized.
 
 Environment knobs:
   EIGSOLVE_BENCH_N      matrix size (default 4096)
+  EIGSOLVE_BENCH_IU     upper eigenpair index (default n//4)
   EIGSOLVE_BENCH_DTYPE  'complex128' (default) or 'float64'
   EIGSOLVE_BENCH_SKIP_CPU  skip the scipy baseline (vs_baseline = 0)
 """
@@ -78,7 +79,7 @@ def main():
     n = int(os.environ.get("EIGSOLVE_BENCH_N", "4096"))
     dtype = os.environ.get("EIGSOLVE_BENCH_DTYPE", "complex128")
     mode = os.environ.get("EIGSOLVE_BENCH_MODE", "mp")
-    iu = max(n // 4, 1)
+    iu = int(os.environ.get("EIGSOLVE_BENCH_IU", str(max(n // 4, 1))))
     # default: the fp32-factorization + fp64-refinement path -- measured
     # faster than everything else on the target chip with residuals ~1e-18
     # normalized (see benchmarks/compare.py runs); 'dc' = full fp64 D&C.

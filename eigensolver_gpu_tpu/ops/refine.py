@@ -60,7 +60,10 @@ def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
     safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
     e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
     e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
-    return x + (mm_dx or mm)(x, e, chunk)
+    x_new = x + (mm_dx or mm)(x, e, chunk)
+    # second-order norm correction (see _renorm): the first-order
+    # rotation leaves a +theta^2 norm defect the last sweep can't clean
+    return x_new * _renorm(eye - r, e)[None, :].astype(dt)
 
 
 def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
@@ -84,7 +87,28 @@ def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
     # correction product at reduced digit count: ozaki error is
     # relative to |E|, below the sweep's own O(|E|^2) term (see
     # ops/refine_planar._sweep_ozaki)
-    return x + (mm_dx or mm)(x, e, chunk), lam
+    x_new = x + (mm_dx or mm)(x, e, chunk)
+    return x_new * _renorm(eye - r, e)[None, :].astype(dt), lam
+
+
+def _renorm(m_gram, e):
+    """Second-order B-norm correction, gemm-free.
+
+    The first-order update X' = X(I+E) removes O(theta) mixing but
+    leaves a +theta^2 norm defect that no later sweep cleans (a coarse
+    fp32 sweep treats moderately-separated pairs as clustered, so the
+    rotation happens only in the FINAL fp64 sweep -- measured stuck at
+    1.0e-5 for an fp32 pipeline with eps32*anorm/gap ~ 3e-3 mixing).
+    diag(X'^H B X') = diag((I+E)^H M (I+E)) with M the gram already in
+    hand: M_ii + 2 Re(E^H M)_ii + (E^H E)_ii to O(|E|^2 |R|) -- all
+    elementwise, no matrix product.  Returns 1/sqrt(d).
+    """
+    d = (
+        jnp.diagonal(m_gram).real
+        + 2.0 * jnp.sum(jnp.conj(e) * m_gram, axis=0).real
+        + jnp.sum(jnp.abs(e) ** 2, axis=0)
+    )
+    return 1.0 / jnp.sqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny))
 
 
 @highest_precision
@@ -113,10 +137,15 @@ def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None, gemm="ozaki"):
             lo = jnp.complex64 if jnp.issubdtype(dt, jnp.complexfloating) else jnp.float32
             a32, b32, x32 = a.astype(lo), b.astype(lo), x.astype(lo)
             eye32 = eye.astype(lo)
-            for _ in range(sweeps - 1):
+            # cap coarse sweeps at 2: extra iterations beyond that go to
+            # fp64 (refine_iters=4 -> 2 fp64 sweeps, the escape hatch
+            # for spectra with gaps near eps32*anorm where the fp32
+            # sweeps must treat pairs as clustered)
+            n_coarse = min(sweeps - 1, 2)
+            for _ in range(n_coarse):
                 x32, _ = _sweep_gevp(a32, b32, x32, eye32, lo)
             x = x32.astype(dt)
-            n_full = 1
+            n_full = max(sweeps - n_coarse, 1)
         else:
             n_full = sweeps
         if gemm == "ozaki" and dt == jnp.float64:
@@ -174,10 +203,11 @@ def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None,
             a32 = a.astype(lo)
             x32 = x.astype(lo)
             eye32 = eye.astype(lo)
-            for _ in range(sweeps - 1):
+            n_coarse = min(sweeps - 1, 2)  # see refine_gevp
+            for _ in range(n_coarse):
                 x32 = _sweep_eigh(a32, x32, eye32, lo)
             x = x32.astype(dt)
-            n_full = 1
+            n_full = max(sweeps - n_coarse, 1)
         else:
             n_full = sweeps
         use_ozaki = gemm == "ozaki" and dt == jnp.float64 and mesh is None

@@ -37,6 +37,19 @@ from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 
+def _renorm_planar(m, e):
+    """Second-order B-norm correction from the gram M = X^H B X and the
+    correction E, gemm-free (see ops/refine._renorm): the first-order
+    rotation leaves +|theta|^2 norm defects that the final sweep cannot
+    clean.  Returns the per-column scale 1/sqrt(diag((I+E)^H M (I+E)))."""
+    d = (
+        jnp.diagonal(m[0])
+        + 2.0 * jnp.sum(e[0] * m[0] + e[1] * m[1], axis=0)
+        + jnp.sum(e[0] * e[0] + e[1] * e[1], axis=0)
+    )
+    return 1.0 / jnp.sqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny))
+
+
 def _sweep(a, b, x, eye, eps32, chunk=None, mm=pmatmul_chunked, mm_dx=None):
     """One Ogita-Aishima sweep in the dtype of its arguments.
 
@@ -59,7 +72,8 @@ def _sweep(a, b, x, eye, eps32, chunk=None, mm=pmatmul_chunked, mm_dx=None):
     e_r = jnp.where(ok, (s[0] + lam[None, :] * r[0]) / safe, r[0] / 2)
     e_i = jnp.where(ok, (s[1] + lam[None, :] * r[1]) / safe, r[1] / 2)
     dx = (mm_dx or mm)(x, (e_r, e_i), chunk)
-    return (xr + dx[0], xi + dx[1]), lam
+    sc = _renorm_planar(xhbx, (e_r, e_i))[None, :]
+    return ((xr + dx[0]) * sc, (xi + dx[1]) * sc), lam
 
 
 def _sweep_ozaki(a, b, x, eye, eps32, bits=48):
@@ -111,7 +125,8 @@ def _sweep_ozaki(a, b, x, eye, eps32, bits=48):
     # absolute otherwise -- 4 digit slices (10 pair gemms) instead of 7
     # (28), saving ~54 bf16 gemms per sweep
     dx = ozaki_pmatmul((xr, xi), (e_r, e_i), bits=28)
-    return (xr + dx[0], xi + dx[1]), lam
+    sc = _renorm_planar(xhbx, (e_r, e_i))[None, :]
+    return ((xr + dx[0]) * sc, (xi + dx[1]) * sc), lam
 
 
 @highest_precision
@@ -157,11 +172,16 @@ def refine_gevp_planar(
             a32, b32 = f32(a), f32(b)
             eye32 = jnp.eye(m, dtype=jnp.float32)
             x32 = f32((xr, xi))
-            for _ in range(sweeps - 1):
+            # cap coarse sweeps at 2: refine_iters=4 buys a SECOND fp64
+            # sweep (escape hatch for spectra with gaps near
+            # eps32*anorm, where the fp32 sweeps must cluster pairs and
+            # one fp64 rotation caps accuracy at theta^2*gap)
+            n_coarse = min(sweeps - 1, 2)
+            for _ in range(n_coarse):
                 x32, _ = _sweep(a32, b32, x32, eye32, eps32)
             xr = x32[0].astype(ar.dtype)
             xi = x32[1].astype(ar.dtype)
-            n_f64_sweeps = 1
+            n_f64_sweeps = max(sweeps - n_coarse, 1)
         else:
             n_f64_sweeps = sweeps
         eye = jnp.eye(m, dtype=ar.dtype)
