@@ -152,7 +152,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         npad = -(-n // nbt) * nbt
         cr_p, ci_p = _pad_planar(cr, ci, npad)
         (pr, pi), d, e, (taur, taui) = hetrd_planar(
-            cr_p, ci_p, nb=nbt, bucket=256, use_pallas=cfg.use_pallas
+            cr_p, ci_p, nb=nbt, bucket=128, use_pallas=cfg.use_pallas
         )
         w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
         w = w_all[il - 1 : iu]
