@@ -100,8 +100,9 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
         band = dense_to_band(ab, cfg.band)
         # Mosaic chase (one kernel for all 3n timesteps, measured 4.6x
         # the XLA fori_loop chase) on fp32 TPU runs; the XLA chase
-        # remains for fp64 (no Mosaic fp64) and CPU tests.
-        if band.dtype == jnp.float32 and jax.default_backend() != "cpu":
+        # remains for fp64 (no Mosaic fp64) and every non-TPU backend
+        # (the kernel only lowers through Mosaic).
+        if band.dtype == jnp.float32 and jax.default_backend() == "tpu":
             from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
 
             d, e, vt, taut = bulge_chase_pallas(band, cfg.band)

@@ -50,7 +50,9 @@ class EmbeddedResult(NamedTuple):
     w: jax.Array  # (m,) eigenvalues
     zr: jax.Array  # (n, m) real part of eigenvectors
     zi: jax.Array  # (n, m) imaginary part
-    info: jax.Array
+    info: jax.Array  # 0 ok; 1..n: B pivot (cuSOLVER semantics); > n:
+    # the extraction's compression gram went (near-)rank-deficient at
+    # column info - n -- the returned basis is degraded, re-draw Omega
 
 
 def embed_herm(ar, ai):
@@ -75,7 +77,11 @@ def zhegvdx_embedded(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_
     mb = embed_herm(br, bi)
     # complex indices il..iu = doubled real indices 2il-1 .. 2iu (1-based)
     w2, y, info = sygvdx(ma, mb, il=2 * il - 1, iu=2 * iu, cfg=cfg)
-    w, zr, zi = _extract_invariant(y, (ar, ai), (br, bi), iu - il + 1)
+    w, zr, zi, xfail = _extract_invariant(y, (ar, ai), (br, bi), iu - il + 1)
+    # rank-deficient compression (xfail > 0) is reported as info = n +
+    # failing gram column, distinguishable from B's 1..n pivot indices;
+    # an earlier Cholesky failure keeps priority.
+    info = jnp.where((info == 0) & (xfail > 0), n + xfail, info)
     return EmbeddedResult(w=w, zr=zr, zi=zi, info=info)
 
 
@@ -109,7 +115,7 @@ def _extract_invariant(y, a, b, m):
     g = pmatmul(pH(xh), bx)
     gr = (g[0] + g[0].T) / 2
     gi = (g[1] - g[1].T) / 2
-    lr, li, _ = _pchol_base(gr, gi, m)
+    lr, li, gfail = _pchol_base(gr, gi, m)
     # Q^H = L^{-1} Xh^H (planar forward substitution), Q = (Q^H)^H
     qh = _fsub_base(lr, li, xh[0].T, -xh[1].T, m)
     q = (qh[0].T, -qh[1].T)
@@ -129,7 +135,11 @@ def _extract_invariant(y, a, b, m):
     ri = ri[:m, :m]
     zr = q[0] @ rr - q[1] @ ri
     zi = q[0] @ ri + q[1] @ rr
-    return w, zr, zi
+    # gfail: 1-based gram column of the first clamped pivot (0 if none)
+    # -- a (near-)rank-deficient X@Omega compression silently degrades
+    # the basis, so the caller surfaces it through info instead of
+    # returning info=0 with inaccurate pairs.
+    return w, zr, zi, gfail
 
 
 def zhegvdx_embedded_batched(

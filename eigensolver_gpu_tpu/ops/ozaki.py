@@ -55,22 +55,50 @@ def nslice_for(dbits: int, bits: int = 48) -> int:
     return max(2, math.ceil(bits / dbits))
 
 
-def _pow2(e):
-    """Exact power of two 2^e as f64, via f32 exponent-bit construction."""
+def _pow2_f32range(e):
+    """Exact 2^e as f64 for e in [-126, 127] (f32 exponent range)."""
     e = jnp.clip(e, -126, 127).astype(jnp.int32)
     f = lax.bitcast_convert_type((e + 127) << 23, jnp.float32)
     return f.astype(jnp.float64)
 
 
+def _pow2(e):
+    """Exact power of two 2^e as f64 for ANY fp64-range integer e.
+
+    Built as a product of <= 9 f32-exponent-range factors: each factor
+    is exact and products of powers of two round exactly in fp64 (down
+    to denormals on real-f64 backends). Covers e in [-1074, 1024]; note
+    the TPU stack's emulated fp64 itself only spans the f32 exponent
+    range, so the extra factors matter on CPU/GPU backends."""
+    e = jnp.asarray(e).astype(jnp.int32)
+    out = _pow2_f32range(jnp.clip(e, -126, 127))
+    rem = e - jnp.clip(e, -126, 127)
+    for _ in range(8):
+        step = jnp.clip(rem, -126, 127)
+        out = out * _pow2_f32range(step)
+        rem = rem - step
+    return out
+
+
 def _floor_log2(x):
-    """floor(log2(x)) for positive finite x, exact via f32 exponent bits.
+    """floor(log2(x)) for positive finite x of any fp64 magnitude, exact
+    via f32 exponent bits.
 
     (fp64 log on this platform is only ~1e-8 accurate -- never use it
-    where an integer exponent must be exact.)
-    """
-    x32 = jnp.clip(x, 1e-37, 1e37).astype(jnp.float32)
-    bits = lax.bitcast_convert_type(x32, jnp.int32)
-    return ((bits >> 23) & 0xFF) - 127
+    where an integer exponent must be exact.)  One f32-exponent read
+    covers [2^-126, 2^127]; two fixed rescale-and-reread passes extend
+    it to the full fp64 range (denormal f64 included): each pass
+    reduces the residual exponent magnitude by up to ~123."""
+    def _f32_exp(v):
+        v32 = jnp.clip(v, 1e-37, 1e37).astype(jnp.float32)
+        bits = lax.bitcast_convert_type(v32, jnp.int32)
+        return ((bits >> 23) & 0xFF) - 127
+
+    e = _f32_exp(x)
+    for _ in range(8):  # ceil(1074 / 123) passes reach fp64 denormals
+        r = x * _pow2(-e)  # exact: power-of-two scaling
+        e = e + _f32_exp(r)
+    return e
 
 
 def ozaki_slice(a, axis, dbits, nslice):

@@ -190,6 +190,15 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     # collapsed to relative eps (absolute floor eps*gap_scale for roots
     # near zero) -- ~2x fewer sweeps of the O(n^2) secular evaluation on
     # typical merges with bitwise-identical worst-case behavior.
+    #
+    # while_loop semantics (keep in mind when changing the step):
+    # * not reverse-differentiable -- if stedc ever needs jax.grad, gate
+    #   this to a fixed-count fori_loop of max_it steps;
+    # * under vmap, converged lanes of a batch member KEEP running the
+    #   body until the whole batch's condition fails. That is safe ONLY
+    #   because the step is safeguarded (mu always clipped into [lo, hi]
+    #   and the bracket never widens) -- a converged lane re-applying the
+    #   step is a no-op. Preserve that invariant in any new step formula.
     max_it = _secular_iters(dt)
     # absolute floor at eps * gap_min: roots hugging their pole (mu of
     # order the separation floor) still resolve to full relative

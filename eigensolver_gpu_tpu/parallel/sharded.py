@@ -4,15 +4,18 @@ TPU-native 'scale the big axis' story (SURVEY.md §5.7): the reference has
 no distribution at all, so these are capability extensions designed for
 ICI, not translations.
 
-Strategy (round 1):
+Strategy (round 2+):
   * tensor parallel ('tp'): A, B, C, Z are sharded over matrix rows with
-    NamedSharding; the O(n^3) phases -- the two-sided triangular-solve
-    reduction to standard form and the eigenvector back-substitution --
-    run as sharded XLA ops (XLA inserts all_gather/psum/collective-matmul
-    over ICI under pjit semantics). The tridiagonalization + stedc of the
-    standard matrix currently run replicated (their sharded variants are
-    the scaling roadmap; the gemm-heavy phases dominate wall-time for the
-    n=16384 config).
+    NamedSharding; XLA inserts all_gather/psum/collective-matmul over ICI
+    under pjit semantics for EVERY dominant stage -- the two-sided
+    triangular-solve reduction to standard form, the tridiagonalization
+    panel products (ops/sytrd.py takes ``mesh``), the stedc merge
+    batches/assembly gemms, the WY back-transform, the refinement gemms
+    (ops/refine.py takes ``mesh``), and the eigenvector back-substitution.
+    models/syevdx.syevdx threads ``mesh`` through all of them;
+    tests/test_parallel.py asserts the collectives are present in the
+    compiled module. Only the latency-bound band chase (two-stage path)
+    deliberately stays replicated-small.
   * data parallel ('dp'): a batch of independent (A_k, B_k) solves
     (Quantum ESPRESSO k-points) vmapped over the batch axis and sharded
     over 'dp' -- each device runs whole solves, zero collectives inside.

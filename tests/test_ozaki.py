@@ -43,6 +43,30 @@ def test_ozaki_matmul_ill_scaled_rows():
     assert err < 1e-13
 
 
+def test_ozaki_matmul_extreme_scales():
+    """Row/col maxima far outside the f32 exponent range: the wide-range
+    exact floor_log2/pow2 (ADVICE r2) must keep full relative accuracy.
+    (Only reachable on real-f64 backends; the TPU stack's emulated fp64
+    itself spans just the f32 exponent range.)"""
+    rng = np.random.default_rng(4)
+    n = 64
+    # +-2^450 each side: far beyond f32's +-2^127 but the PRODUCT of a
+    # row and a column scale still fits fp64 (no true overflow)
+    a = rng.standard_normal((n, n)) * np.exp2(
+        rng.integers(-450, 450, (n, 1)).astype(np.float64)
+    )
+    b = rng.standard_normal((n, n)) * np.exp2(
+        rng.integers(-450, 450, (1, n)).astype(np.float64)
+    )
+    ref = a @ b
+    got = np.asarray(ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+    assert np.all(np.isfinite(got))
+    ra = np.max(np.abs(a), axis=1, keepdims=True)
+    cb = np.max(np.abs(b), axis=0, keepdims=True)
+    err = np.max(np.abs(got - ref) / (ra * cb * n))
+    assert err < 1e-13
+
+
 def test_ozaki_matmul_zero_rows_and_exact_powers():
     rng = np.random.default_rng(2)
     n = 64
