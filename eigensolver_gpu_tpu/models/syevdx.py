@@ -161,8 +161,11 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG, mesh=None):
     if mixed:
         # BASELINE.md config-5 fast path: O(n^3) factorization stages in
         # fp32 on the MXU, then Ogita-Aishima sweeps against the fp64
-        # matrix recover fp64 accuracy (ops/refine.py). Needs the full
-        # spectrum, so selection happens after refinement.
+        # matrix recover fp64 accuracy (ops/refine.py). The fp32
+        # pipeline computes the full spectrum (stedc needs it), but
+        # refinement runs on the selected block + cluster margin only
+        # -- the reference likewise back-transforms only the NZ
+        # selected columns (dsyevd_gpu.F90:108,119-128).
         from eigensolver_gpu_tpu.ops.refine import refine_eigh
 
         lo_dt = jnp.complex64 if iscomplex else jnp.float32
@@ -174,15 +177,21 @@ def syevdx(a, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG, mesh=None):
             z_tri = q_tri.astype(lo_dt) if iscomplex else q_tri
             z_tri = _maybe_row_shard(z_tri, mesh)
             x32 = back(z_tri[:, :n])[:n]
+        sel0 = max(0, il - 1 - cfg.refine_margin)
+        sel1 = min(n, iu + cfg.refine_margin)
+        rdt = jnp.zeros((), a.dtype).real.dtype
         w, x = refine_eigh(
             _maybe_row_shard(a, mesh), x32.astype(a.dtype),
             sweeps=cfg.refine_iters,
             chunk=2048 if n >= 8192 else None, mesh=mesh,
+            sel=(sel0, sel1 - sel0), w0=w_all[:n].astype(rdt),
+            extra_max=cfg.refine_extra_max,
         )
         order = jnp.argsort(w)
         w = w[order]
         x = x[:, order]
-        return w[il - 1 : iu], x[:, il - 1 : iu]
+        lo = il - 1 - sel0
+        return w[lo : lo + (iu - il + 1)], x[:, lo : lo + (iu - il + 1)]
 
     a_p = _pad_decoupled(a, npad)
     a_p = _maybe_row_shard(a_p, mesh)

@@ -87,13 +87,25 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
             a.astype(jnp.float32), b.astype(jnp.float32), il=1, iu=n, cfg=inner
         )
         chunk = 2048 if n >= 8192 else None
+        # selected-range economy (reference back-transforms only the NZ
+        # selected columns, dsyevd_gpu.F90:108,119-128): refine only the
+        # il..iu block + cluster-guard margin against the full fp32
+        # basis; per-sweep gemms shrink from n^3 to n^2*ms
+        sel0 = max(0, il - 1 - cfg.refine_margin)
+        sel1 = min(n, iu + cfg.refine_margin)
         w, z = refine_gevp(
-            a, b, z32.astype(a.dtype), sweeps=cfg.refine_iters, chunk=chunk
+            a, b, z32.astype(a.dtype), sweeps=cfg.refine_iters, chunk=chunk,
+            sel=(sel0, sel1 - sel0), w0=w32.astype(a.dtype),
+            extra_max=cfg.refine_extra_max,
         )
         order = jnp.argsort(w)
         w = w[order]
         z = z[:, order]
-        return SygvdxResult(w=w[il - 1 : iu], z=z[:, il - 1 : iu], info=info)
+        lo = il - 1 - sel0
+        return SygvdxResult(
+            w=w[lo : lo + (iu - il + 1)], z=z[:, lo : lo + (iu - il + 1)],
+            info=info,
+        )
 
     # XLA's whole-matrix triangular solve keeps O(n) full-width block
     # temps alive, which OOMs a single chip at n >= 8192 (measured);

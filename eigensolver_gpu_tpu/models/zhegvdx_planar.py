@@ -106,16 +106,24 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))
         # chunk the fp64 gemms at large n (operand expansion OOMs otherwise)
         chunk = 2048 if n >= 8192 else None
+        # selected-range economy + cluster-guard margin (see
+        # ops/refine_planar.py; mirrors the reference's NZ-column
+        # back-transform, zhegvdx_gpu.F90:169)
+        sel0 = max(0, il - 1 - cfg.refine_margin)
+        sel1 = min(n, iu + cfg.refine_margin)
         w, (zr, zi) = refine_gevp_planar(
-            (ar, ai), (br, bi), x64, sweeps=cfg.refine_iters, chunk=chunk
+            (ar, ai), (br, bi), x64, sweeps=cfg.refine_iters, chunk=chunk,
+            sel=(sel0, sel1 - sel0), w0=w32.astype(ar.dtype),
+            extra_max=cfg.refine_extra_max,
         )
         order = jnp.argsort(w)
         w = w[order]
         zr = zr[:, order]
         zi = zi[:, order]
+        lo = il - 1 - sel0
+        hi = lo + (iu - il + 1)
         return PlanarResult(
-            w=w[il - 1 : iu], zr=zr[:, il - 1 : iu], zi=zi[:, il - 1 : iu],
-            info=info,
+            w=w[lo:hi], zr=zr[:, lo:hi], zi=zi[:, lo:hi], info=info,
         )
 
     # fp32 pipeline: diagonal-block-inverted solves (~30 sequential steps

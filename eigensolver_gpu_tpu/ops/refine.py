@@ -21,6 +21,15 @@ Quadratic convergence while eigenvalue gaps exceed the working error;
 clustered pairs fall back to the R/2 term, which still restores
 orthogonality (the invariant subspace is what converges for clusters).
 Cost per sweep: 4 gemms in the target precision -- all MXU work.
+
+Selected-range refinement + defect auto-escalation (round 3): see
+ops/refine_planar.py's module docstring -- this module implements the
+same block scheme for real/complex-dtype arrays.  Only ``ms`` selected
+columns (+ cluster margin) are corrected, against the FULL fp32 basis
+(grams are (n_all, ms), cost ~n^2 ms per sweep instead of n^3), with
+the fp32 pipeline's eigenvalues serving the out-of-block denominators
+under a widened cluster floor.  Mirrors the reference's NZ-column
+economy (dsyevd_gpu.F90:108,119-128).
 """
 
 from __future__ import annotations
@@ -29,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
@@ -45,53 +55,7 @@ def _mm_chunked(x, y, chunk):
     return out.transpose(1, 0, 2).reshape(x.shape[0], m)
 
 
-def _sweep_eigh(a, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
-    eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
-    r = eye - mm(jnp.conj(x.T), x, chunk)
-    s = mm(jnp.conj(x.T), mm(a, x, chunk), chunk)
-    lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
-        jnp.zeros((), dt).real.dtype
-    )
-    denom = lam[None, :] - lam[:, None]
-    anorm = jnp.max(jnp.abs(lam))
-    # separation threshold: below it, pairs are treated as a
-    # cluster and only orthogonality is corrected
-    sep = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
-    safe = jnp.where(jnp.abs(denom) > sep, denom, jnp.ones((), lam.dtype))
-    e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
-    e = jnp.where(jnp.abs(denom) > sep, e_sep, r / 2)
-    x_new = x + (mm_dx or mm)(x, e, chunk)
-    # second-order norm correction (see _renorm): the first-order
-    # rotation leaves a +theta^2 norm defect the last sweep can't clean
-    return x_new * _renorm(eye - r, e)[None, :].astype(dt)
-
-
-def _sweep_gevp(a, b, x, eye, dt, chunk=None, mm=_mm_chunked, mm_dx=None):
-    """One generalized Ogita-Aishima sweep: R = I - X^H B X, S = X^H A X
-    (see ops/refine_planar.py for the derivation); returns (x', lam)."""
-    eps = jnp.finfo(jnp.zeros((), dt).real.dtype).eps
-    bx = mm(b, x, chunk)
-    ax = mm(a, x, chunk)
-    r = eye - mm(jnp.conj(x.T), bx, chunk)
-    s = mm(jnp.conj(x.T), ax, chunk)
-    lam = (jnp.diagonal(s).real / (1.0 - jnp.diagonal(r).real)).astype(
-        jnp.zeros((), dt).real.dtype
-    )
-    denom = lam[None, :] - lam[:, None]
-    anorm = jnp.max(jnp.abs(lam))
-    sep = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
-    ok = jnp.abs(denom) > sep
-    safe = jnp.where(ok, denom, jnp.ones((), lam.dtype))
-    e_sep = (s + lam[None, :].astype(dt) * r) / safe.astype(dt)
-    e = jnp.where(ok, e_sep, r / 2)
-    # correction product at reduced digit count: ozaki error is
-    # relative to |E|, below the sweep's own O(|E|^2) term (see
-    # ops/refine_planar._sweep_ozaki)
-    x_new = x + (mm_dx or mm)(x, e, chunk)
-    return x_new * _renorm(eye - r, e)[None, :].astype(dt), lam
-
-
-def _renorm(m_gram, e):
+def _renorm(m_gram, e, sel0, ms):
     """Second-order B-norm correction, gemm-free.
 
     The first-order update X' = X(I+E) removes O(theta) mixing but
@@ -99,25 +63,171 @@ def _renorm(m_gram, e):
     fp32 sweep treats moderately-separated pairs as clustered, so the
     rotation happens only in the FINAL fp64 sweep -- measured stuck at
     1.0e-5 for an fp32 pipeline with eps32*anorm/gap ~ 3e-3 mixing).
-    diag(X'^H B X') = diag((I+E)^H M (I+E)) with M the gram already in
-    hand: M_ii + 2 Re(E^H M)_ii + (E^H E)_ii to O(|E|^2 |R|) -- all
-    elementwise, no matrix product.  Returns 1/sqrt(d).
+    diag(X'^H B X') = diag((I+E)^H M (I+E)) with M = X^H B X_blk the
+    gram already in hand: M_(blk)ii + 2 Re(E^H M)_ii + (E^H E)_ii to
+    O(|E|^2 |R|) -- all elementwise, no matrix product.  Returns
+    1/sqrt(d) for the ms block columns.
     """
     d = (
-        jnp.diagonal(m_gram).real
+        jnp.diagonal(m_gram[sel0 : sel0 + ms]).real
         + 2.0 * jnp.sum(jnp.conj(e) * m_gram, axis=0).real
         + jnp.sum(jnp.abs(e) ** 2, axis=0)
     )
     return 1.0 / jnp.sqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny))
 
 
+def _correct_block(gram, s, sel0, ms, w_rows, dt):
+    """Shared tail of one selected-block sweep (real/complex dtype):
+    from gram = X^H M X_blk (M = B or I) and s = X^H A X_blk, build the
+    correction E (n_all, ms), the block column scales, the updated
+    eigenvalue estimates and the marginal-pair defect (see
+    ops/refine_planar.py for the escalation semantics)."""
+    rdt = jnp.zeros((), dt).real.dtype
+    eps = jnp.finfo(rdt).eps
+    n_all = gram.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (n_all, ms), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n_all, ms), 1)
+    is_self = rows == cols + sel0
+    inblk = (rows >= sel0) & (rows < sel0 + ms)
+
+    r = jnp.where(is_self, jnp.ones((), dt), jnp.zeros((), dt)) - gram
+    lam = (
+        jnp.diagonal(s[sel0 : sel0 + ms]).real
+        / (1.0 - jnp.diagonal(r[sel0 : sel0 + ms]).real)
+    ).astype(rdt)
+    w_rows = lax.dynamic_update_slice(w_rows, lam, (sel0,))
+    denom = lam[None, :] - w_rows[:, None]
+    anorm = jnp.max(jnp.abs(w_rows))
+    sep_in = jnp.maximum(1e3 * eps * anorm, jnp.finfo(jnp.float32).eps * anorm)
+    # out-of-block lambdas carry the fp32 pipeline's O(eps32*anorm)
+    # error -- widen the cluster floor there (refine_planar docstring)
+    sep = jnp.where(
+        inblk, sep_in,
+        jnp.maximum(sep_in, 64 * jnp.finfo(jnp.float32).eps * anorm),
+    )
+    ok = jnp.abs(denom) > sep
+    safe = jnp.where(ok, denom, jnp.ones((), denom.dtype))
+    num = s + lam[None, :].astype(dt) * r
+    e = jnp.where(ok, num / safe.astype(dt), r / 2)
+    sc = _renorm(gram, e, sel0, ms)[None, :].astype(dt)
+    # defect = predicted post-sweep residual per column (l2 over rows,
+    # max over columns): the sweep leaves |num|*delta/|denom| from
+    # denominator error (delta: eps64-level in-block Rayleigh quotients,
+    # O(64*eps32*anorm) for the fp32 pipeline's out-of-block lambdas)
+    # plus the quadratic |num|^2/|denom| term; cluster-branch pairs
+    # (|denom| <= sep) are suppressed by the max(.., sep) -- their
+    # gap-level floor is unavoidable and must not drive escalation.
+    delta = jnp.where(
+        inblk, 1e3 * eps * anorm, 64 * jnp.finfo(jnp.float32).eps * anorm
+    )
+    absnum = jnp.abs(num)
+    pred = jnp.where(
+        is_self,
+        0.0,
+        jnp.minimum(
+            absnum,
+            (delta + absnum) * absnum / jnp.maximum(jnp.abs(denom), sep),
+        ),
+    )
+    defect = jnp.sqrt(jnp.max(jnp.sum(pred**2, axis=0)))
+    return e, sc, lam, w_rows, defect
+
+
+def _sweep_eigh(a, x, sel, w_rows, dt, chunk=None, mm=_mm_chunked,
+                mm_dx=None):
+    """One standard-problem sweep on the selected block; updates only
+    columns sel0..sel0+ms of the full basis x (n, n_all)."""
+    sel0, ms = sel
+    xs = x[:, sel0 : sel0 + ms]
+    gram = mm(jnp.conj(x.T), xs, chunk)
+    s = mm(jnp.conj(x.T), mm(a, xs, chunk), chunk)
+    e, sc, lam, w_rows, defect = _correct_block(
+        gram, s, sel0, ms, w_rows, dt
+    )
+    x_new = (xs + (mm_dx or mm)(x, e, chunk)) * sc
+    return lax.dynamic_update_slice(x, x_new, (0, sel0)), lam, w_rows, defect
+
+
+def _sweep_gevp(a, b, x, sel, w_rows, dt, chunk=None, mm=_mm_chunked,
+                mm_dx=None):
+    """One generalized sweep on the selected block: R = I - X^H B X_blk,
+    S = X^H A X_blk (see ops/refine_planar.py for the derivation)."""
+    sel0, ms = sel
+    xs = x[:, sel0 : sel0 + ms]
+    bx = mm(b, xs, chunk)
+    ax = mm(a, xs, chunk)
+    gram = mm(jnp.conj(x.T), bx, chunk)
+    s = mm(jnp.conj(x.T), ax, chunk)
+    e, sc, lam, w_rows, defect = _correct_block(
+        gram, s, sel0, ms, w_rows, dt
+    )
+    # correction product at reduced digit count: ozaki error is
+    # relative to |E|, below the sweep's own quadratic term (see
+    # ops/refine_planar._sweep_ozaki)
+    x_new = (xs + (mm_dx or mm)(x, e, chunk)) * sc
+    return lax.dynamic_update_slice(x, x_new, (0, sel0)), lam, w_rows, defect
+
+
+def _resolve_mm(gemm, dt, mesh=None):
+    """Pick the fp64 gemm implementation (ozaki on real f64, else the
+    platform dot); ozaki is gated to mesh=None so the SPMD partitioner
+    owns the contraction psums on sharded runs."""
+    if gemm == "ozaki" and dt == jnp.float64 and mesh is None:
+        from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
+
+        return ozaki_matmul_chunked, functools.partial(
+            ozaki_matmul_chunked, bits=28
+        )
+    return _mm_chunked, None
+
+
+def _run_sweeps(one_sweep, x, w_rows, n_full, extra_max, n, dt):
+    """Static sweeps + defect-gated while_loop escalation (shared by
+    refine_gevp / refine_eigh)."""
+    w = None
+    defect = None
+    for _ in range(n_full):
+        x, w, w_rows, defect = one_sweep(x, w_rows)
+    if extra_max > 0 and jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64:
+        # tolerance sits well above the defect's gram-noise floor
+        # (measured ~3e-13 scale) and well below a one-sweep-short
+        # defect (1e-9..1e-10 on the adversarial fixtures)
+        anorm = jnp.max(jnp.abs(w_rows))
+        tol = 100.0 * jnp.finfo(jnp.float64).eps * (n**0.5) * anorm
+
+        def cond(carry):
+            it, _, _, defect = carry
+            return (it < extra_max) & (defect > tol)
+
+        def body(carry):
+            it, x, w_rows, _ = carry
+            x, _, w_rows, defect = one_sweep(x, w_rows)
+            return it + 1, x, w_rows, defect
+
+        _, x, w_rows, defect = lax.while_loop(
+            cond, body, (jnp.int32(0), x, w_rows, defect)
+        )
+        w = None  # recover from w_rows (set by the last sweep)
+    return x, w, w_rows
+
+
 @highest_precision
 @functools.partial(
-    jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "gemm")
+    jax.jit,
+    static_argnames=(
+        "sweeps", "coarse_first", "chunk", "gemm", "sel", "extra_max"
+    ),
 )
-def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None, gemm="ozaki"):
-    """Refine generalized eigenpairs of (a, b) from approximate
-    B-orthonormal eigenvectors ``x`` (n x n for full refinement).
+def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None,
+                gemm="ozaki", sel=None, w0=None, extra_max=0):
+    """Refine generalized eigenpairs of (a, b) from the approximate
+    B-orthonormal full basis ``x`` (n x n, ascending eigenvalue order).
+
+    sel: optional static (sel0, ms) -- refine/return only that block
+    (selected range + cluster margin; per-sweep cost ~n^2*ms).  w0:
+    full-length fp32-pipeline eigenvalue estimates, required with a
+    strict-subset sel.  extra_max: defect-gated auto-escalation sweeps.
+    Returns (w (ms,), x_block (n, ms)).
 
     The real/complex-dtype counterpart of refine_gevp_planar: lets the
     ENTIRE fp32 generalized pipeline (Cholesky, sygst, tridiagonal,
@@ -129,47 +239,60 @@ def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None, gemm="ozaki"):
     """
     dt = a.dtype
     x = x.astype(dt)
-    eye = jnp.eye(x.shape[1], dtype=dt)
-    is64 = jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64
+    n, m = x.shape
+    if sel is None:
+        sel = (0, m)
+    sel0, ms = sel
+    rdt = jnp.zeros((), dt).real.dtype
+    if w0 is None:
+        if ms < m:
+            raise ValueError("sel with a strict subset requires w0")
+        w0 = jnp.zeros((m,), rdt)
+    w_rows = w0.astype(rdt)
+    is64 = jnp.finfo(rdt).bits == 64
 
     with trace_range("refine_gevp"):
         if coarse_first and sweeps > 1 and is64:
             lo = jnp.complex64 if jnp.issubdtype(dt, jnp.complexfloating) else jnp.float32
             a32, b32, x32 = a.astype(lo), b.astype(lo), x.astype(lo)
-            eye32 = eye.astype(lo)
+            w32 = w_rows.astype(jnp.float32)
             # cap coarse sweeps at 2: extra iterations beyond that go to
-            # fp64 (refine_iters=4 -> 2 fp64 sweeps, the escape hatch
-            # for spectra with gaps near eps32*anorm where the fp32
-            # sweeps must treat pairs as clustered)
+            # fp64 (refine_iters=4 -> 2 fp64 sweeps; superseded by
+            # extra_max auto-escalation but kept for manual control)
             n_coarse = min(sweeps - 1, 2)
             for _ in range(n_coarse):
-                x32, _ = _sweep_gevp(a32, b32, x32, eye32, lo)
+                x32, _, w32, _ = _sweep_gevp(a32, b32, x32, sel, w32, lo)
             x = x32.astype(dt)
+            w_rows = w32.astype(rdt)
             n_full = max(sweeps - n_coarse, 1)
         else:
             n_full = sweeps
-        if gemm == "ozaki" and dt == jnp.float64:
-            from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
+        mm, mm_dx = _resolve_mm(gemm, dt)
 
-            mm = ozaki_matmul_chunked
-            mm_dx = functools.partial(ozaki_matmul_chunked, bits=28)
-        else:
-            mm = _mm_chunked
-            mm_dx = None
-        w = None
-        for _ in range(n_full):
-            x, w = _sweep_gevp(a, b, x, eye, dt, chunk, mm, mm_dx)
-        return w, x
+        def one_sweep(x, w_rows):
+            return _sweep_gevp(a, b, x, sel, w_rows, dt, chunk, mm, mm_dx)
+
+        x, w, w_rows = _run_sweeps(
+            one_sweep, x, w_rows, n_full, extra_max, n, dt
+        )
+        if w is None:
+            w = lax.dynamic_slice(w_rows, (sel0,), (ms,))
+        return w, x[:, sel0 : sel0 + ms]
 
 
 @highest_precision
 @functools.partial(
-    jax.jit, static_argnames=("sweeps", "coarse_first", "chunk", "mesh", "gemm")
+    jax.jit,
+    static_argnames=(
+        "sweeps", "coarse_first", "chunk", "mesh", "gemm", "sel", "extra_max"
+    ),
 )
 def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None,
-                gemm="ozaki"):
-    """Refine eigenvectors ``x`` (n x m, m == n for full refinement) of
-    dense symmetric/Hermitian ``a``; returns (w, x) in a's dtype.
+                gemm="ozaki", sel=None, w0=None, extra_max=0):
+    """Refine eigenvectors of dense symmetric/Hermitian ``a`` from the
+    approximate full basis ``x`` (n x m, ascending order); returns
+    (w (ms,), x_block (n, ms)) for the selected block (all of x when
+    sel is None).
 
     coarse_first: all but the last sweep run in the 32-bit dtype -- the
     early corrections only need a couple of digits, and the platform's
@@ -185,44 +308,55 @@ def refine_eigh(a, x, sweeps=2, coarse_first=True, chunk=None, mesh=None,
     n=4096, same ~1e-13 accuracy); used only when unsharded (mesh=None)
     -- the sharded path keeps the plain dot so XLA's SPMD partitioner
     owns the contraction psums. 'emulated' forces the platform dot.
+
+    sel/w0/extra_max: selected-block refinement and auto-escalation,
+    as in refine_gevp.
     """
     dt = a.dtype
     x = x.astype(dt)
+    n, m = x.shape
+    if sel is None:
+        sel = (0, m)
+    sel0, ms = sel
+    rdt = jnp.zeros((), dt).real.dtype
+    if w0 is None:
+        if ms < m:
+            raise ValueError("sel with a strict subset requires w0")
+        w0 = jnp.zeros((m,), rdt)
+    w_rows = w0.astype(rdt)
     if mesh is not None and x.shape[0] % mesh.shape["tp"] == 0:
         from jax.sharding import NamedSharding, PartitionSpec
 
         spec = NamedSharding(mesh, PartitionSpec("tp", None))
         a = jax.lax.with_sharding_constraint(a, spec)
         x = jax.lax.with_sharding_constraint(x, spec)
-    eye = jnp.eye(x.shape[1], dtype=dt)
-    is64 = jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64
+    is64 = jnp.finfo(rdt).bits == 64
 
     with trace_range("refine_eigh"):
         if coarse_first and sweeps > 1 and is64:
             lo = jnp.complex64 if jnp.issubdtype(dt, jnp.complexfloating) else jnp.float32
             a32 = a.astype(lo)
             x32 = x.astype(lo)
-            eye32 = eye.astype(lo)
+            w32 = w_rows.astype(jnp.float32)
             n_coarse = min(sweeps - 1, 2)  # see refine_gevp
             for _ in range(n_coarse):
-                x32 = _sweep_eigh(a32, x32, eye32, lo)
+                x32, _, w32, _ = _sweep_eigh(a32, x32, sel, w32, lo)
             x = x32.astype(dt)
+            w_rows = w32.astype(rdt)
             n_full = max(sweeps - n_coarse, 1)
         else:
             n_full = sweeps
-        use_ozaki = gemm == "ozaki" and dt == jnp.float64 and mesh is None
-        if use_ozaki:
-            from eigensolver_gpu_tpu.ops.ozaki import ozaki_matmul_chunked
+        mm, mm_dx = _resolve_mm(gemm, dt, mesh)
 
-            mm = ozaki_matmul_chunked
-            mm_dx = functools.partial(ozaki_matmul_chunked, bits=28)
-        else:
-            mm = _mm_chunked
-            mm_dx = None
-        for _ in range(n_full):
-            x = _sweep_eigh(a, x, eye, dt, chunk, mm, mm_dx)
-        # final Rayleigh quotients + column normalization
-        norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=0))
-        x = x / norms[None, :].astype(dt)
-        w = jnp.sum(jnp.conj(x) * (a @ x), axis=0).real
-        return w, x
+        def one_sweep(x, w_rows):
+            return _sweep_eigh(a, x, sel, w_rows, dt, chunk, mm, mm_dx)
+
+        x, _, w_rows = _run_sweeps(
+            one_sweep, x, w_rows, n_full, extra_max, n, dt
+        )
+        # final Rayleigh quotients + column normalization on the block
+        xs = x[:, sel0 : sel0 + ms]
+        norms = jnp.sqrt(jnp.sum(jnp.abs(xs) ** 2, axis=0))
+        xs = xs / norms[None, :].astype(dt)
+        w = jnp.sum(jnp.conj(xs) * (a @ xs), axis=0).real
+        return w, xs

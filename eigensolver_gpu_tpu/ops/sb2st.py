@@ -276,20 +276,32 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
     compact-WY windows of ``g`` consecutive sweeps per chase position
     (window (j, k) covers sweeps [jg, jg+g) at chase hop k, rows
     jg+1+kb .. +b+g-1). The sequential order (groups descending, k
-    ascending) is replaced by the wave schedule tau = 2*(G-1-j) + k:
-    every pair of row-overlapping windows keeps its sequential order
-    (|row-dist| < b+g-1 implies the tau order matches), and all windows
-    of one wave are disjoint and evenly spaced g+2b rows apart -- so a
-    wave is ONE contiguous slice of y, a batch of staircase-WY gemms,
-    and one write-back. ~(2n/g + n/b) waves instead of ~n^2/(gb)
-    sequential windows. All reflector repacking below is gather-free
-    (_shift_rows)."""
+    ascending) is replaced by the wave schedule tau = 2*(G-1-j) + k.
+
+    Validity (holds for EVERY g >= 1, b >= 2 -- property-tested over
+    g up to 4b in tests/test_sbrd.py):
+
+    * sequential lex order is correct: reflectors (v1,k1), (v2,k2)
+      whose row intervals [v+1+kb, v+kb+b) overlap satisfy
+      |dv + dk*b| <= b-1; replay (reverse chase, t = 3v+k descending)
+      then forces the window order (j desc, k asc) -- for every
+      overlapping pair the lex-earlier window holds the later-t
+      reflector, because dv >= (dj-1)g+1 with overlap would need
+      |dk|(b - 1/3) <= b-1, impossible for |dk| >= 1.
+    * lex -> wave: windows start at a(j,k) = jg+kb; a tau-order
+      inversion against lex needs dk >= 2*dj (dj = j1-j2 > 0), which
+      puts the starts >= g+2b apart -- past the window length b+g-1,
+      so inverted pairs never overlap. Equal-tau windows (dk = 2*dj)
+      are exactly g+2b apart: disjoint, batchable.
+
+    Each wave is ONE contiguous slice of y (slots spaced g+2b rows), a
+    batch of staircase-WY gemms, and one write-back; ~(2n/g + n/b)
+    waves instead of ~n^2/(gb) sequential windows. g > 2b trades a
+    shorter critical path (fewer, taller windows: l_win = b+g-1 rows)
+    against more wasted reflector-free rows per slot. All reflector
+    repacking below is gather-free (_shift_rows)."""
     if g is None:
         g = b
-    # the wave schedule's disjointness/ordering argument needs
-    # g <= 2b (verified empirically: g=96,128 at b=32 corrupt the
-    # replay; g <= 64 matches the scalar path)
-    g = min(g, 2 * b)
     t3, s_slots, _ = vt.shape
     m = y.shape[1]
     dtype = y.dtype
@@ -324,7 +336,14 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
         # Shifting row u of the parity-split store left by u*g makes the
         # whole wave one slice at column C*g (+front offset F).
         kcap = 3 * s_slots
-        n_u = min(n_groups, (kmax + 2 + 1) // 2)  # slots per wave
+        # slots per wave: slot u holds window (j = c0+u, k = par+2u), so
+        # u = k//2 <= kmax//2 -- bounded by the HOP count, never by
+        # n_groups (a min(n_groups, ..) here silently dropped the
+        # high-hop windows of low groups whenever g > 2b, where
+        # n_groups < kmax//2+1 -- the round-2 "g <= 2b corruption").
+        # Out-of-range slots (j >= n_groups or k > kmax) read zeros and
+        # reduce to identity windows.
+        n_u = kmax // 2 + 1
         f_off = (kmax // 2 + 2) * g  # front zeros: C*g can be negative
         y_cols = f_off + n_groups * g + g
         v4 = []

@@ -49,6 +49,18 @@ class SolverConfig:
       two_stage_min_n: 'auto' switches to the two-stage reduction at
         this matrix size (below it the one-stage loop's lower constant
         wins).
+      refine_margin: cluster-guard margin (columns each side) added to
+        the selected range il..iu for the mixed-precision refinement
+        sweeps. The reference back-transforms only the NZ selected
+        columns (dsyevd_gpu.F90:108,119-128); here refinement likewise
+        runs on the selected block only -- the margin keeps eigenvalue
+        clusters that straddle the selection cut inside the block where
+        accurate in-block Rayleigh quotients are available.
+      refine_extra_max: upper bound on AUTO-ESCALATED extra fp64
+        refinement sweeps: when the in-hand grams show marginal pairs
+        whose first-order coupling exceeds the residual contract, more
+        sweeps run automatically (replaces the manual refine_iters=4
+        escape hatch for tight-cluster spectra). 0 disables.
     """
 
     nb_sygst: int = 512
@@ -63,6 +75,8 @@ class SolverConfig:
     tridiag_mode: str = "auto"
     band: int = 32
     two_stage_min_n: int = 4096
+    refine_margin: int = 32
+    refine_extra_max: int = 2
 
     def __post_init__(self):
         if self.stedc_backend not in ("dc", "xla"):

@@ -126,3 +126,108 @@ def test_refine_iters4_second_f64_sweep():
     g = np.abs(z.T @ z - np.eye(n)).max()
     assert res < 1e-9
     assert g < 1e-9
+
+
+def test_selected_range_economy_matches_full():
+    """Selected-block refinement (sel + margin, the round-3 n^2*ms
+    economy) must reach the same residuals as full-spectrum refinement
+    and return exactly the requested pairs (reference NZ-column
+    behavior, dsyevd_gpu.F90:108,119-128)."""
+    n = 192
+    a, b = random_spd_pair(n, seed=70)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    # interior range with both boundaries cutting the spectrum
+    il, iu = 33, 64
+    w, z, info = dsygvdx(a, b, il=il, iu=iu, cfg=CFG32)
+    assert int(info) == 0
+    assert np.asarray(w).shape == (iu - il + 1,)
+    np.testing.assert_allclose(np.asarray(w), w_ref[il - 1 : iu],
+                               rtol=0, atol=1e-11 * n)
+    z = np.asarray(z)
+    res = np.max(np.abs(a @ z - b @ z * np.asarray(w)[None, :]))
+    assert res < 1e-11, f"selected-range residual {res:.2e}"
+    # B-orthonormality of the selected block
+    g = z.T @ b @ z
+    assert np.max(np.abs(g - np.eye(iu - il + 1))) < 1e-10
+
+
+def test_selected_range_cluster_straddles_cut():
+    """A tight eigenvalue cluster straddling the iu selection cut: the
+    refine_margin must keep the whole cluster in-block so its members
+    get accurate in-block fp64 Rayleigh quotients (out-of-block
+    denominators carry O(eps32*anorm) error)."""
+    n = 160
+    rng = np.random.default_rng(71)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    # cluster of 8 at 1.0 spanning indices 29..36 (1-based); cut at iu=32
+    w_true = np.sort(np.concatenate([
+        rng.uniform(0.01, 0.9, 28),
+        1.0 + 1e-10 * np.arange(8),
+        rng.uniform(1.5, 40.0, n - 36),
+    ]))
+    a = (q * w_true[None, :]) @ q.T
+    a = (a + a.T) / 2
+    w, z, info = dsygvdx(a, np.eye(n), il=1, iu=32, cfg=CFG32)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(w), w_true[:32], rtol=0, atol=2e-11 * n)
+    z = np.asarray(z)
+    res = np.max(np.abs(a @ z - z * np.asarray(w)[None, :]))
+    # cluster spread 1e-10 bounds attainable residual for mixed vectors
+    assert res < 5e-9
+
+
+def test_auto_escalation_default_config():
+    """VERDICT weak #5: the adversarial tight-cluster spectrum must meet
+    the residual contract at the DEFAULT mixed config -- the defect
+    measured on the in-hand grams triggers extra fp64 sweeps
+    automatically (no manual refine_iters=4)."""
+    n = 128
+    rng = np.random.default_rng(60)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w_true = np.sort(np.concatenate([
+        np.full(8, 1.0), 1.0 + 1e-9 * np.arange(1, 5),
+        rng.uniform(2.0, 50.0, n - 12),
+    ]))
+    a = (q * w_true[None, :]) @ q.T
+    a = (a + a.T) / 2
+    cfg = SolverConfig(compute_dtype="float32")  # default refine_iters
+    w, z, info = dsygvdx(a, np.eye(n), il=1, iu=n, cfg=cfg)
+    z = np.asarray(z)
+    res = np.abs(a @ z - z * np.asarray(w)[None, :]).max()
+    g = np.abs(z.T @ z - np.eye(n)).max()
+    assert res < 1e-9, f"auto-escalated residual {res:.2e}"
+    assert g < 1e-9
+
+
+def test_syevdx_selected_range_mixed():
+    """Mixed-precision syevdx with an interior range through the
+    selected-block refine_eigh path."""
+    n = 160
+    a, _ = random_spd_pair(n, seed=72)
+    w_ref = np.linalg.eigvalsh(a)
+    w, z = syevdx(a, il=49, iu=80, cfg=CFG32)
+    assert np.asarray(w).shape == (32,)
+    np.testing.assert_allclose(np.asarray(w), w_ref[48:80], rtol=0,
+                               atol=1e-10 * n)
+    z = np.asarray(z)
+    res = np.max(np.abs(a @ z - z * np.asarray(w)[None, :]))
+    assert res < 1e-11 * n
+
+
+def test_zhegvdx_planar_selected_range_mixed():
+    """Planar complex mixed driver with a selected range (the headline
+    path): block refinement + NZ-column return."""
+    from eigensolver_gpu_tpu.utils.testing import random_hpd_pair
+    from eigensolver_gpu_tpu import zhegvdx_planar_host
+
+    n = 128
+    a, b = random_hpd_pair(n, seed=73)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    cfg = SolverConfig(compute_dtype="float32", refine_iters=3)
+    w, zr, zi, info = zhegvdx_planar_host(a, b, il=17, iu=48, cfg=cfg)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(w), w_ref[16:48], rtol=0,
+                               atol=1e-10 * n)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    res = np.max(np.abs(a @ z - b @ z * np.asarray(w)[None, :]))
+    assert res < 1e-11 * n

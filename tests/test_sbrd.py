@@ -85,19 +85,28 @@ def test_two_stage_end_to_end(n, b):
     assert np.abs(z.T @ z - np.eye(n)).max() < 1e-11 * n
 
 
-@pytest.mark.parametrize("g", [64, 96, 128])
-def test_apply_q2_large_g_clamped(g):
-    """g > 2b corrupts the wave schedule's ordering argument; apply_q2
-    clamps to 2b (bug found round 2: g=96/128 at b=32 silently produced
-    wrong replays on sizes where windows overlap across waves)."""
-    n, b = 256, 16
+@pytest.mark.parametrize("b,gs", [
+    (4, (3, 4, 8, 9, 12, 16)),       # g through 4b incl. odd boundaries
+    (8, (8, 16, 17, 24, 32)),
+    (16, (16, 32, 33, 48, 64)),
+])
+def test_apply_q2_wave_schedule_any_g(b, gs):
+    """Property test of the wave-schedule validity argument (apply_q2
+    docstring): the blocked replay must equal the scalar replay for ANY
+    g, including g > 2b. Round 2's corruption at g > 2b was NOT a
+    schedule invariant but a slot-count bug (n_u capped by n_groups,
+    dropping high-hop windows of low groups when n_groups < kmax//2+1);
+    this sweep pins the fix across the old boundary."""
+    n = 16 * b
     rng = np.random.default_rng(7)
-    t = rng.standard_normal((n, n)).astype(np.float32)
+    t = rng.standard_normal((n, n))
     a_full = (t + t.T) / 2
     mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
-    band = dense_to_band(jnp.asarray(a_full * mask, jnp.float32), b)
+    band = dense_to_band(jnp.asarray(a_full * mask), b)
     d, e, vt, taut = bulge_chase(band, b)
-    y = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((n, 8)))
     z1 = np.asarray(apply_q2(vt, taut, y, n, b, g=1))
-    z = np.asarray(apply_q2(vt, taut, y, n, b, g=g))
-    np.testing.assert_allclose(z, z1, rtol=5e-4, atol=5e-4)
+    for g in gs:
+        z = np.asarray(apply_q2(vt, taut, y, n, b, g=g))
+        np.testing.assert_allclose(z, z1, rtol=0, atol=1e-12,
+                                   err_msg=f"b={b} g={g}")
