@@ -83,9 +83,11 @@ def main():
         d, e, vt, taut = bulge_chase(band, b)
         return jnp.sum(d) + jnp.sum(e), vt, taut
 
+    g = int(os.environ.get("EIGSOLVE_REPLAY_G", "0")) or None
+
     @jax.jit
     def f_q2(vt, taut, y):
-        z = apply_q2(vt, taut, y, n, b)
+        z = apply_q2(vt, taut, y, n, b, g=g)
         return jnp.sum(z[0]), z
 
     @jax.jit

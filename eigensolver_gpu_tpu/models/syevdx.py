@@ -109,8 +109,15 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
         else:
             d, e, vt, taut = bulge_chase(band, cfg.band)
 
+        # replay group size: l_win = b+g-1 = 127 fills the MXU tile for
+        # fp32; fp64's emulated dot gains nothing from fill, so g=b
+        # minimizes qform flops (see utils/config.SolverConfig.replay_g)
+        g = cfg.replay_g or (
+            3 * cfg.band if ab.dtype == jnp.float32 else cfg.band
+        )
+
         def back(z):
-            return apply_q1(vs, ts, apply_q2(vt, taut, z, npad, cfg.band))
+            return apply_q1(vs, ts, apply_q2(vt, taut, z, npad, cfg.band, g=g))
 
         return d, e, back
 

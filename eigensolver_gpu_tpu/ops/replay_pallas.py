@@ -1,0 +1,296 @@
+"""Pallas bulge-chase replay: apply_q2 with VMEM-resident eigenvectors.
+
+The XLA replay (ops/sb2st.apply_q2) is HBM-traffic bound: every wave
+dynamic-slices a (span, m) strip of y out of HBM, runs the window-Q
+gemms, and writes the strip back -- at n=8192 that is ~0.5 GB of
+read+write PER WAVE across ~500 waves (measured 1060 ms, ~25x the
+useful traffic).  Here the whole wave loop runs inside one Mosaic
+kernel per m-tile:
+
+* y stays VMEM-RESIDENT across ALL waves of an m-tile -- read from HBM
+  once, written back once (grid = (m_tiles, n_waves); the y block's
+  index map ignores the wave dimension, so Pallas fetches it only when
+  the m-tile changes).
+* the window-Q matrices (one (P, P) orthogonal block per active slot,
+  P = 128) are PRECOMPUTED in one batched XLA pass over all windows
+  (window_qs below) -- the per-wave vtv/T-inverse/qform work leaves the
+  sequential path entirely -- and streamed into the kernel through FOUR
+  parallel BlockSpec entries (one Pallas DMA stream tops out at
+  ~71 GB/s on this chip; concurrency = #inputs x double-buffering).
+* per wave, each active slot is one (P, P) @ (P, m_tile) MXU dot at a
+  dynamically computed (8-aligned) row offset of the resident y; with
+  g = 3b = 96, l_win = b+g-1 = 127 fills the 128-lane MXU tile
+  (the XLA path's l_win=63 windows ran at ~24% utilization).
+
+Wave geometry matches ops/sb2st.apply_q2 exactly (same schedule, same
+active-slot clamping); window validity for ANY g is derived in that
+module's docstring.  fp32 only (no Mosaic fp64 dot on this toolchain);
+the fp64 two-stage path keeps the XLA replay.
+
+Re-designs the WY back-transform economics of the reference's
+dsyevd_gpu.F90:119-128 (cuSOLVER dormtr) for the two-stage reduction
+the reference does not have.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eigensolver_gpu_tpu.ops.sb2st import (
+    _shift_rows,
+    _triu_inv_doubling,
+    repack_sweep_major,
+)
+from eigensolver_gpu_tpu.utils.precision import highest_precision
+from eigensolver_gpu_tpu.utils.tracing import trace_range
+
+P = 128  # padded window size: one full MXU tile
+N_STREAMS = 4  # parallel qw BlockSpec entries (DMA concurrency)
+
+
+def _geometry(n, b, g):
+    """Static wave-schedule geometry (numpy), shared by the gather
+    index construction and the kernel's in-kernel base arithmetic.
+    Mirrors ops/sb2st.apply_q2."""
+    kmax = max((n - 3) // b, 0)
+    l_win = b + g - 1
+    n_groups = -(-max(n - 2, 1) // g)
+    n_u = kmax // 2 + 1
+    n_act = min(n_u, -(-(n - 2) // (g + 2 * b)) + 1)
+    n_waves = 2 * (n_groups - 1) + kmax + 1
+    taus = np.arange(n_waves)
+    par = taus % 2
+    c0 = n_groups - 1 - (taus - par) // 2
+    # NOTE: u_lo (and the row bases) depend on the effective slot count
+    # (stream-padded n_act4), so callers compute them themselves.
+    return dict(
+        kmax=kmax, l_win=l_win, n_groups=n_groups, n_u=n_u, n_act=n_act,
+        n_waves=n_waves, par=par, c0=c0,
+    )
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("n", "b", "g"))
+def window_qs(vt, taut, n, b, g):
+    """Precompute every wave-slot's padded window-Q, batched.
+
+    Returns qw (n_waves, n_act4, P, P) fp32 where n_act4 rounds n_act
+    up to a multiple of N_STREAMS: qw[tau, i] = [[Q, 0], [0, I]] with Q
+    the (l_win, l_win) compact-WY orthogonal block of window
+    (j = c0+u_lo+i, k = par+2(u_lo+i)), or the identity for inactive
+    slots.  One batched pass over all ~n^2/(2gb) windows -- the
+    vtv/T-inverse/qform arithmetic leaves apply_q2's sequential path.
+    """
+    geo = _geometry(n, b, g)
+    kmax, l_win = geo["kmax"], geo["l_win"]
+    n_groups, n_act, n_waves = geo["n_groups"], geo["n_act"], geo["n_waves"]
+    n_act4 = -(-n_act // N_STREAMS) * N_STREAMS
+    nv = max(n - 2, 1)
+
+    v2, t2 = repack_sweep_major(vt, taut, b, n)  # (kcap, nv, b)
+    kcap = v2.shape[0]
+    # pad: k rows to kmax+2 (last = zeros), sweeps to n_groups*g + g
+    nvp = n_groups * g + g
+    kp = max(kmax + 2, kcap)
+    v2p = jnp.pad(v2, ((0, kp - kcap), (0, nvp - nv), (0, 0)))
+    t2p = jnp.pad(t2, ((0, kp - kcap), (0, nvp - nv)))
+
+    # static gather indices: slot i of wave tau -> window (j, k).
+    # u_lo is clamped with the stream-padded slot count n_act4 -- must
+    # match the kernel's in-kernel arithmetic exactly.
+    n_u = geo["n_u"]
+    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
+    u = u_lo[:, None] + np.arange(n_act4)[None, :]
+    jarr = geo["c0"][:, None] + u
+    karr = geo["par"][:, None] + 2 * u
+    a0 = jarr * g + karr * b
+    # active slots span [u_lo, u_lo + n_act4) entirely (u_lo >= n_u -
+    # n_act4 when clamped), so NO i < n_act restriction here -- the
+    # kernel's in-kernel predicate applies every window this marks
+    valid = (jarr >= 0) & (jarr < n_groups) & (karr <= kmax) & (a0 <= n - 3)
+    jj = np.where(valid, jarr, n_groups)   # -> zero sweep padding
+    kk = np.where(valid, karr, kp - 1)     # -> zero k row
+    flat_idx = jnp.asarray(
+        (kk[:, :, None] * nvp + jj[:, :, None] * g + np.arange(g)).reshape(-1),
+        jnp.int32,
+    )
+    vblk = jnp.take(v2p.reshape(kp * nvp, b), flat_idx, axis=0).reshape(
+        n_waves, n_act4, g, b
+    )
+    taus = jnp.take(t2p.reshape(kp * nvp), flat_idx, axis=0).reshape(
+        n_waves, n_act4, g
+    )
+
+    # batched qform over wave chunks (lax.map keeps one traced body)
+    chunk = 8
+    nwp = -(-n_waves // chunk) * chunk
+    vblk = jnp.pad(vblk, ((0, nwp - n_waves), (0, 0), (0, 0), (0, 0)))
+    taus = jnp.pad(taus, ((0, nwp - n_waves), (0, 0), (0, 0)))
+    eye_g = jnp.eye(g, dtype=jnp.float32)
+    eye_l = jnp.eye(l_win, dtype=jnp.float32)
+    # identity tail of the (P, P) padding
+    r = np.arange(P)
+    tail = jnp.asarray(np.diag((r >= l_win).astype(np.float32)))
+
+    def qform(args):
+        vb, ts = args  # (chunk, n_act4, g, b), (chunk, n_act4, g)
+        w = chunk * n_act4
+        vb = vb.reshape(w, g, b)
+        ts = ts.reshape(w, g)
+        tsafe = jnp.where(ts == 0, 1.0, ts)
+        vw = jnp.swapaxes(
+            _shift_rows(jnp.pad(vb, ((0, 0), (0, 0), (0, g))), -1, l_win),
+            1, 2,
+        )  # (w, l_win, g) staircase
+        vw = vw * (ts != 0)[:, None, :]
+        vtv = jnp.einsum("urs,urt->ust", vw, vw)
+        tinv = jnp.triu(vtv, 1) + eye_g[None] / tsafe[:, :, None]
+        tv = jnp.einsum("ust,urt->usr", _triu_inv_doubling(tinv), vw)
+        q = eye_l[None] - jnp.einsum("urs,usq->urq", vw, tv)
+        qp = jnp.pad(q, ((0, 0), (0, P - l_win), (0, P - l_win)))
+        qp = qp + tail[None]
+        return qp.reshape(chunk, n_act4, P, P)
+
+    qw = lax.map(
+        qform,
+        (
+            vblk.reshape(nwp // chunk, chunk, n_act4, g, b),
+            taus.reshape(nwp // chunk, chunk, n_act4, g),
+        ),
+    ).reshape(nwp, n_act4, P, P)
+    return qw[:n_waves]
+
+
+def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, n_waves, *refs):
+    (y_in, *qws), (y_out,) = refs[: 1 + N_STREAMS], refs[1 + N_STREAMS :]
+    t = pl.program_id(1)
+    i32 = jnp.int32
+    spacing = i32(g + 2 * b)
+
+    @pl.when(t == 0)
+    def _():
+        y_out[:, :] = y_in[:, :]
+
+    par = t.astype(i32) % 2
+    c0 = i32(n_groups - 1) - (t.astype(i32) - par) // 2
+    # first slot of the static n_act4 window (matches the host-side
+    # base0/u_lo computation in apply_q2_pallas exactly)
+    u_lo = jnp.minimum(
+        jnp.maximum(i32(0), -c0), i32(max(n_u - n_act4, 0))
+    )
+    base = (c0 + u_lo) * i32(g) + i32(1) + par * i32(b) \
+        + i32(2 * b) * u_lo + i32(fy)
+
+    # unrolled per-stream loops; each stream holds q4 consecutive slots
+    kmax_i = i32((n - 3) // b if n > 3 else 0)
+    for s in range(N_STREAMS):
+        qref = qws[s]
+
+        def slot(i, carry, qref=qref, s=s):
+            u = u_lo + i32(s * q4) + i
+            j = c0 + u
+            k = par + i32(2) * u
+            a0 = j * i32(g) + k * i32(b)
+            r0 = base + (i32(s * q4) + i) * spacing
+
+            @pl.when((j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3)))
+            def _():
+                q = qref[0, i]
+                blk = y_out[pl.ds(r0, P), :]
+                y_out[pl.ds(r0, P), :] = jnp.dot(
+                    q, blk,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+            return carry
+
+        lax.fori_loop(i32(0), i32(q4), slot, i32(0))
+
+
+@highest_precision
+@functools.partial(
+    jax.jit, static_argnames=("n", "b", "g", "m_tile", "interpret")
+)
+def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=1024, interpret=False):
+    """y <- Q2 y, Mosaic replay (fp32). Drop-in for ops/sb2st.apply_q2
+    on the fp32 TPU path; same reflector storage, same wave schedule.
+
+    g defaults to 3b (l_win = 4b-1 = 127 at b=32: a full MXU tile).
+    Requires g % 8 == 0 and b % 8 == 0 (all wave bases are then
+    8-aligned sublane offsets) and l_win <= 128.
+    """
+    if g is None:
+        g = 3 * b
+    if g % 8 or b % 8:
+        raise ValueError(f"need 8 | g and 8 | b, got g={g}, b={b}")
+    if b + g - 1 > P:
+        raise ValueError(f"l_win={b+g-1} exceeds padded window {P}")
+    if y.dtype != jnp.float32:
+        raise TypeError("apply_q2_pallas is fp32-only; use the XLA replay")
+    geo = _geometry(n, b, g)
+    n_act, n_waves, n_u = geo["n_act"], geo["n_waves"], geo["n_u"]
+    n_groups = geo["n_groups"]
+    n_act4 = -(-n_act // N_STREAMS) * N_STREAMS
+    q4 = n_act4 // N_STREAMS
+
+    # recompute base bounds with the stream-padded slot count (the
+    # kernel clamps u_lo with n_act4, not n_act)
+    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
+    base0 = (geo["c0"] + u_lo) * g + 1 + geo["par"] * b + 2 * b * u_lo
+    bmin = int(base0.min())
+    bmax = int(base0.max())
+    # front pad fy: smallest value >= -bmin with (fy + base0) % 8 == 0;
+    # all base0 are odd-free mod 8? base0 % 8 == 1 (g, 2b = 0 mod 8)
+    fy = (max(0, -bmin) + 7) // 8 * 8 + 7
+    rows = fy + bmax + (n_act4 - 1) * (g + 2 * b) + P
+    rows = -(-rows // 8) * 8
+
+    m = y.shape[1]
+    mt = min(m_tile, -(-m // 8) * 8)
+    mp = -(-m // mt) * mt
+    y_p = jnp.zeros((rows, mp), jnp.float32)
+    y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))
+
+    with trace_range("apply_q2_pallas_qs"):
+        qw = window_qs(vt, taut, n, b, g)  # (n_waves, n_act4, P, P)
+
+    kernel = functools.partial(
+        _replay_kernel, n, b, g, n_groups, n_u, n_act4, q4, fy, n_waves
+    )
+    y_spec = pl.BlockSpec(
+        (rows, mt),
+        index_map=lambda i, t: (jnp.int32(0), i),
+        memory_space=pltpu.VMEM,
+    )
+    qw_specs = [
+        pl.BlockSpec(
+            (1, q4, P, P),
+            index_map=lambda i, t: (t, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(N_STREAMS)
+    ]
+    with trace_range("apply_q2_pallas"):
+        out = pl.pallas_call(
+            kernel,
+            grid=(mp // mt, n_waves),
+            in_specs=[y_spec] + qw_specs,
+            out_specs=[y_spec],
+            out_shape=[jax.ShapeDtypeStruct((rows, mp), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            y_p,
+            *[qw[:, s * q4 : (s + 1) * q4] for s in range(N_STREAMS)],
+        )[0]
+    return lax.dynamic_slice(out, (fy, 0), (n, m))

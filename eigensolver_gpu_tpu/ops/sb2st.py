@@ -266,6 +266,33 @@ def _triu_inv_doubling(t, base=16):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def repack_sweep_major(vt, taut, b, n):
+    """Repack vt[t, s] -> V2[k, v] sweep-major storage, gather-free.
+
+    Reflector (v, k) of the chase lives at t = 3v+k, s = k//3; for
+    k = 3s+c, V2[3s+c, v] = vt[3(v+s)+c, s].  Returns
+    (v2 (3*s_slots, nv, b), t2 (3*s_slots, nv)) with nv = max(n-2, 1)
+    (sweeps v in [0, n-3])."""
+    t3, s_slots, b_ = vt.shape
+    nv = max(n - 2, 1)
+    tcap = t3 // 3
+    need_t = nv + s_slots
+    vt4 = vt.reshape(tcap, 3, s_slots, b_)
+    tt4 = taut.reshape(tcap, 3, s_slots)
+    if need_t > tcap:
+        vt4 = jnp.pad(vt4, ((0, need_t - tcap), (0, 0), (0, 0), (0, 0)))
+        tt4 = jnp.pad(tt4, ((0, need_t - tcap), (0, 0), (0, 0)))
+    # axes -> (c, s, t, b); per (c, s): row v reads t = v + s
+    vt_cs = jnp.transpose(vt4, (1, 2, 0, 3)).reshape(3, s_slots, need_t * b_)
+    v_sk = _shift_rows(vt_cs, b_, nv * b_).reshape(3, s_slots, nv, b_)
+    t_cs = jnp.transpose(tt4, (1, 2, 0))
+    t_sk = _shift_rows(t_cs, 1, nv)
+    # V2[k = 3s+c] : (s, c) row-major == 3s+c
+    v2 = jnp.transpose(v_sk, (1, 0, 2, 3)).reshape(3 * s_slots, nv, b_)
+    t2 = jnp.transpose(t_sk, (1, 0, 2)).reshape(3 * s_slots, nv)
+    return v2, t2
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("b", "g", "n", "tsolve"))
 def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
@@ -311,25 +338,7 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
     nv = max(n - 2, 1)  # sweeps v in [0, n-3]
 
     with trace_range("apply_q2_repack"):
-        # --- repack vt[t, s] -> V2[k, v]: reflector (v, k) lives at
-        # t = 3v+k, s = k//3; for k = 3s+c, V2[3s+c, v] = vt[3(v+s)+c, s].
-        tcap = t3 // 3
-        need_t = nv + s_slots
-        vt4 = vt.reshape(tcap, 3, s_slots, b)
-        tt4 = taut.reshape(tcap, 3, s_slots)
-        if need_t > tcap:
-            vt4 = jnp.pad(vt4, ((0, need_t - tcap), (0, 0), (0, 0), (0, 0)))
-            tt4 = jnp.pad(tt4, ((0, need_t - tcap), (0, 0), (0, 0)))
-        # axes -> (c, s, t, b); per (c, s): row v reads t = v + s
-        vt_cs = jnp.transpose(vt4, (1, 2, 0, 3)).reshape(
-            3, s_slots, need_t * b
-        )
-        v_sk = _shift_rows(vt_cs, b, nv * b).reshape(3, s_slots, nv, b)
-        t_cs = jnp.transpose(tt4, (1, 2, 0))
-        t_sk = _shift_rows(t_cs, 1, nv)
-        # V2[k = 3s+c] : (s, c) row-major == 3s+c
-        v2 = jnp.transpose(v_sk, (1, 0, 2, 3)).reshape(3 * s_slots, nv, b)
-        t2 = jnp.transpose(t_sk, (1, 0, 2)).reshape(3 * s_slots, nv)
+        v2, t2 = repack_sweep_major(vt, taut, b, n)
 
         # --- parity pre-skew: wave tau has k = P + 2u, group j = C + u
         # (C = G-1 - (tau-P)/2), so slot u reads V2[P+2u, (C+u)g : +g].
@@ -375,27 +384,38 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
 
     n_waves = 2 * (n_groups - 1) + kmax + 1
     eye_g = jnp.eye(g, dtype=dtype)
+    # active slots per wave: windows intersecting rows [0, n) number at
+    # most cdiv(n-2, g+2b)+1 (spacing g+2b); slicing n_act slots from
+    # the first possibly-active one (u_lo) skips the identity windows
+    # (j < 0 or rows past n) that n_u = kmax//2+1 otherwise drags
+    # through the gemms -- at n=8192/g=32 that is 87 of 128 slots.
+    n_act = min(n_u, -(-(n - 2) // (g + 2 * b)) + 1)
 
     def wave(tau, y_p):
         par = tau % 2
         c0 = n_groups - 1 - (tau - par) // 2
+        # first potentially-active slot (j = c0+u >= 0), clamped so the
+        # static n_act window stays in range; active slots are
+        # contiguous from max(0, -c0) with count <= n_act (row-span)
+        u_lo = jnp.minimum(jnp.maximum(0, -c0), n_u - n_act)
         vblk = lax.dynamic_slice(
-            v4, (par, 0, c0 * g + f_off, 0), (1, n_u, g, b)
-        ).reshape(n_u, g, b)
+            v4, (par, u_lo, c0 * g + f_off, 0), (1, n_act, g, b)
+        ).reshape(n_act, g, b)
         taus = lax.dynamic_slice(
-            t4, (par, 0, c0 * g + f_off), (1, n_u, g)
-        ).reshape(n_u, g)
+            t4, (par, u_lo, c0 * g + f_off), (1, n_act, g)
+        ).reshape(n_act, g)
         tsafe = jnp.where(taus == 0, 1.0, taus)
         # staircase embedding vw[u, r, s] = vblk[u, s, r-s] (skew)
         vw = jnp.swapaxes(
             _shift_rows(jnp.pad(vblk, ((0, 0), (0, 0), (0, g))), -1, l_win),
             1, 2,
-        )  # (n_u, l_win, g)
+        )  # (n_act, l_win, g)
         vw = vw * (taus != 0)[:, None, :]
 
-        base = c0 * g + 1 + par * b + fy
-        yw_all = lax.dynamic_slice(y_p, (base, 0), (span, m)).reshape(
-            n_u, g + 2 * b, m
+        base = c0 * g + 1 + par * b + fy + u_lo * (g + 2 * b)
+        span_act = n_act * (g + 2 * b)
+        yw_all = lax.dynamic_slice(y_p, (base, 0), (span_act, m)).reshape(
+            n_act, g + 2 * b, m
         )
         yw = yw_all[:, :l_win]
         vtv = jnp.einsum("urs,urt->ust", vw, vw)
@@ -419,7 +439,7 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
             yw = yw - jnp.einsum("urs,usm->urm", vw, x)
         yw_all = yw_all.at[:, :l_win].set(yw)
         return lax.dynamic_update_slice(
-            y_p, yw_all.reshape(span, m), (base, 0)
+            y_p, yw_all.reshape(span_act, m), (base, 0)
         )
 
     with trace_range("apply_q2"):

@@ -49,6 +49,12 @@ class SolverConfig:
       two_stage_min_n: 'auto' switches to the two-stage reduction at
         this matrix size (below it the one-stage loop's lower constant
         wins).
+      replay_g: group size (sweeps per compact-WY window) for the
+        bulge-chase replay apply_q2. 0 = auto: 3*band for fp32 compute
+        (l_win = band+g-1 = 127 fills the 128-lane MXU tile; valid for
+        any g, see ops/sb2st.apply_q2) and band for fp64 (the emulated
+        dot gains nothing from tile fill, and g=b minimizes qform
+        flops).
       refine_margin: cluster-guard margin (columns each side) added to
         the selected range il..iu for the mixed-precision refinement
         sweeps. The reference back-transforms only the NZ selected
@@ -75,6 +81,7 @@ class SolverConfig:
     tridiag_mode: str = "auto"
     band: int = 32
     two_stage_min_n: int = 4096
+    replay_g: int = 0
     refine_margin: int = 32
     refine_extra_max: int = 2
 

@@ -1,0 +1,73 @@
+"""Mosaic replay kernel vs the XLA apply_q2 (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigensolver_gpu_tpu.ops.replay_pallas import apply_q2_pallas, window_qs
+from eigensolver_gpu_tpu.ops.sb2st import apply_q2, bulge_chase, dense_to_band
+
+
+def _chase(rng, n, b):
+    t = rng.standard_normal((n, n)).astype(np.float32)
+    a = (t + t.T) / 2
+    mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+    band = dense_to_band(jnp.asarray(a * mask, jnp.float32), b)
+    return a, bulge_chase(band, b)
+
+
+@pytest.mark.parametrize("n,b,g", [
+    (96, 8, 8),      # g = b
+    (128, 8, 24),    # g = 3b (the production shape at b=32)
+    (256, 16, 48),   # g = 3b, larger
+    (120, 8, 16),    # n not a multiple of the slot spacing
+])
+def test_replay_pallas_matches_scalar(n, b, g):
+    rng = np.random.default_rng(7)
+    a, (d, e, vt, taut) = _chase(rng, n, b)
+    y = jnp.asarray(rng.standard_normal((n, 40)), jnp.float32)
+    z1 = np.asarray(apply_q2(vt, taut, y, n, b, g=1))
+    z = np.asarray(
+        apply_q2_pallas(vt, taut, y, n, b, g=g, m_tile=16, interpret=True)
+    )
+    np.testing.assert_allclose(z, z1, rtol=0, atol=1e-4)
+
+
+def test_replay_pallas_m_not_divisible():
+    """Column counts that don't divide the m_tile get zero-padded."""
+    n, b, g = 96, 8, 24
+    rng = np.random.default_rng(8)
+    a, (d, e, vt, taut) = _chase(rng, n, b)
+    y = jnp.asarray(rng.standard_normal((n, 23)), jnp.float32)
+    z1 = np.asarray(apply_q2(vt, taut, y, n, b, g=1))
+    z = np.asarray(
+        apply_q2_pallas(vt, taut, y, n, b, g=g, m_tile=16, interpret=True)
+    )
+    np.testing.assert_allclose(z, z1, rtol=0, atol=1e-4)
+
+
+def test_replay_pallas_validation():
+    vt = jnp.zeros((3, 1, 8), jnp.float32)
+    taut = jnp.zeros((3, 1), jnp.float32)
+    y64 = jnp.zeros((24, 4))
+    with pytest.raises(TypeError):
+        apply_q2_pallas(vt, taut, y64, 24, 8)
+    y32 = jnp.zeros((24, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        apply_q2_pallas(vt, taut, y32, 24, 8, g=7)  # g not 8-aligned
+    with pytest.raises(ValueError):
+        apply_q2_pallas(vt, taut, y32, 24, 8, g=128)  # l_win > 128
+
+
+def test_window_qs_orthogonal():
+    """Every precomputed window-Q block must be orthogonal (incl. the
+    identity-padded tail) -- the invariant the in-kernel dots rely on."""
+    n, b, g = 128, 8, 24
+    rng = np.random.default_rng(9)
+    a, (d, e, vt, taut) = _chase(rng, n, b)
+    qw = np.asarray(window_qs(vt, taut, n, b, g))
+    w = qw.reshape(-1, 128, 128)
+    eye = np.eye(128, dtype=np.float32)
+    err = np.abs(np.einsum("uij,uik->ujk", w, w) - eye[None]).max()
+    assert err < 1e-4, f"window Q orthogonality {err:.2e}"
