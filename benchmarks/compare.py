@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--cases", default="cpu,xla,dc,mp")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--input", default=None)
+    ap.add_argument(
+        "--spectrum", choices=["random", "qe"], default="random",
+        help="qe = clustered QE-style spectrum (utils/testing.qe_style_pair;"
+        " BASELINE config 3's workload shape)",
+    )
     args = ap.parse_args()
     if args.input:
         data = np.load(args.input)
@@ -98,7 +103,12 @@ def main():
         args.dtype = "z" if np.iscomplexobj(a_h) else "d"
     else:
         n = args.n
-        if args.dtype == "z":
+        if args.spectrum == "qe":
+            from eigensolver_gpu_tpu.utils.testing import qe_style_pair
+
+            dt = np.complex128 if args.dtype == "z" else np.float64
+            a_h, b_h = qe_style_pair(n, seed=0, dtype=dt)
+        elif args.dtype == "z":
             a_h, b_h = random_hpd_pair(n, seed=0)
         else:
             a_h, b_h = random_spd_pair(n, seed=0)

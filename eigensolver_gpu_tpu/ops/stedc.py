@@ -47,7 +47,7 @@ def _secular_iters(dt):
     return 60 if jnp.finfo(dt).bits == 64 else 35
 
 
-def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
+def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False):
     """Merge two solved blocks coupled by off-diagonal ``beta``.
 
     [[T1, beta e e^T^], [.., T2]] = blockdiag(D1', D2') + rho v v^T with
@@ -55,6 +55,15 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     (the diagonal adjustments were applied on the way down, in stedc()).
     The halves may have different sizes (the binary-decomposition merge
     tree folds unequal groups; Cuppen's update never needed equal halves).
+
+    compact: deflation-aware assembly -- permute the alive (undeflated)
+    poles to the front and run the update gemm at the smallest of four
+    static bucket sizes covering the alive count (deflated columns of U
+    are unit vectors, so they bypass the gemm entirely; heavy deflation
+    -- clustered QE-style spectra -- cuts the dominant n^3 assembly by
+    the squared deflation fraction). ONLY for unbatched call sites:
+    under vmap the lax.switch would execute every bucket for the whole
+    batch.
     """
     m = d1.shape[0]
     m2_ = d2.shape[0]
@@ -137,10 +146,18 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     mu0 = (lo0 + hi0) / 2
 
     def secular_step(_, carry):
-        mu, lo, hi = carry
+        mu, lo, hi, _ = carry
         psi, phi, dpsi, dphi = secular_parts(mu, sig_right)
         f = 1.0 + psi + phi
         fp = dpsi + dphi
+        # dlaed4-style residual convergence (dlaed4.f line ~320: the
+        # iteration stops when |f| is below roundoff in the secular
+        # sum); the bracket-width test alone kept converged lanes
+        # iterating 15-25 sweeps because only one bracket side moves
+        # per step while the rational iterate converges quadratically.
+        conv = jnp.abs(f) <= 8.0 * eps * n2 * (
+            1.0 + jnp.abs(psi) + jnp.abs(phi)
+        )
         lo = jnp.where(f < 0, mu, lo)
         hi = jnp.where(f >= 0, mu, hi)
         # derivative-matched two-pole rational model (dlaed4 middle way):
@@ -181,7 +198,10 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
                 (newton > lo) & (newton < hi), newton, (lo + hi) / 2
             )
         )
-        return cand, lo, hi
+        # converged lanes freeze their iterate (safeguard invariant:
+        # re-applying the step to a frozen lane is a no-op)
+        cand = jnp.where(conv, mu, cand)
+        return cand, lo, hi, conv
 
     # Adaptive iteration: the fixed count (60 fp64 / 35 fp32) covers the
     # worst case where lanes degrade to bisection, but typical spectra
@@ -206,18 +226,21 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     tol_abs = eps * gap_min
 
     def secular_cond(carry):
-        it, mu, lo, hi = carry
+        it, mu, lo, hi, conv = carry
         width = hi - lo
-        done = width <= eps * jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + tol_abs
+        done = conv | (
+            width <= eps * jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + tol_abs
+        )
         return (it < max_it) & ~jnp.all(done)
 
     def secular_body(carry):
-        it, mu, lo, hi = carry
-        mu, lo, hi = secular_step(it, (mu, lo, hi))
-        return it + 1, mu, lo, hi
+        it, mu, lo, hi, conv = carry
+        mu, lo, hi, conv = secular_step(it, (mu, lo, hi, conv))
+        return it + 1, mu, lo, hi, conv
 
-    _, mu, lo, hi = lax.while_loop(
-        secular_cond, secular_body, (jnp.int32(0), mu0, lo0, hi0)
+    _, mu, lo, hi, _ = lax.while_loop(
+        secular_cond, secular_body,
+        (jnp.int32(0), mu0, lo0, hi0, jnp.zeros((n2,), bool)),
     )
     # final safeguarded value strictly inside the interval
     mu = jnp.clip(mu, lo, hi)
@@ -262,7 +285,32 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale):
     qcat = qcat.at[:m, :m].set(q1)
     qcat = qcat.at[m:, m:].set(q2)
     qp = qcat[:, perm]
-    qnew = qp @ u
+    if compact:
+        # alive-first permutation; U restricted to the leading na block
+        # is the whole non-trivial update (dead rows/cols of U are unit)
+        perm2 = jnp.argsort(~alive, stable=True)
+        inv2 = jnp.argsort(perm2)
+        qp_c = qp[:, perm2]
+        u_c = u[perm2][:, perm2]
+        na = jnp.sum(alive.astype(jnp.int32))
+        sizes = sorted(
+            {min(n2, -(-(n2 * (i + 1) // 4) // 128) * 128) for i in range(4)}
+        )
+        if sizes[-1] != n2:
+            sizes.append(n2)
+        bidx = sum((na > s).astype(jnp.int32) for s in sizes[:-1])
+
+        def mk(sz):
+            def branch(args):
+                qp_c, u_c = args
+                left = qp_c[:, :sz] @ u_c[:sz, :sz]
+                return jnp.concatenate([left, qp_c[:, sz:]], axis=1)
+
+            return branch
+
+        qnew = lax.switch(bidx, [mk(s) for s in sizes], (qp_c, u_c))[:, inv2]
+    else:
+        qnew = qp @ u
 
     # final ascending order
     order = jnp.argsort(w)
@@ -385,8 +433,22 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
                 q1 = qb_c.reshape(pairs, 2, m, m)[:, 0]
                 q2 = qb_c.reshape(pairs, 2, m, m)[:, 1]
                 betas = e_full[start_el + (2 * jnp.arange(pairs) + 1) * m - 1]
-                merge = jax.vmap(_merge_pair, in_axes=(0, 0, 0, 0, 0, None))
-                wb_c, qb_c = merge(w1, q1, w2, q2, betas, gap_scale)
+                if pairs <= 2 and mesh is None:
+                    # unbatched top merges (the dominant assembly gemms):
+                    # call directly so the deflation-aware bucketed
+                    # assembly can lax.switch on the alive count
+                    outs = [
+                        _merge_pair(
+                            w1[p], q1[p], w2[p], q2[p], betas[p], gap_scale,
+                            compact=True,
+                        )
+                        for p in range(pairs)
+                    ]
+                    wb_c = jnp.stack([o[0] for o in outs])
+                    qb_c = jnp.stack([o[1] for o in outs])
+                else:
+                    merge = jax.vmap(_merge_pair, in_axes=(0, 0, 0, 0, 0, None))
+                    wb_c, qb_c = merge(w1, q1, w2, q2, betas, gap_scale)
                 wb_c, qb_c = shard_level(wb_c, qb_c)
                 m *= 2
             return wb_c.reshape(sz), qb_c.reshape(sz, sz)
@@ -411,7 +473,9 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
                 acc_w, acc_q = wg, shard_block(qg)
             else:
                 beta = e_full[start_blk * leaf - 1]
-                acc_w, acc_q = _merge_pair(acc_w, acc_q, wg, qg, beta, gap_scale)
+                acc_w, acc_q = _merge_pair(
+                    acc_w, acc_q, wg, qg, beta, gap_scale, compact=mesh is None
+                )
                 acc_q = shard_block(acc_q)
 
         # padding deflates to eigenvalues >= 4 > Gershgorin(T/scale) <= 3,

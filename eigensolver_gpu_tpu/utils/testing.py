@@ -60,12 +60,17 @@ def qe_style_pair(n, seed=0, dtype=np.complex128, decay=0.5):
             np.sort(rng.uniform(0.0, 100.0, n - n // 4)),
         ]
     )
-    q, _ = np.linalg.qr(
-        rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
-    )
+    iscomplex = np.issubdtype(dtype, np.complexfloating)
+    g = rng.standard_normal((n, n))
+    if iscomplex:
+        g = g + 1j * rng.standard_normal((n, n))
+    q, _ = np.linalg.qr(g)
     a = (q * lam) @ q.conj().T
     a = (a + a.conj().T) / 2
-    t2 = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(dtype)
+    t2 = rng.standard_normal((n, n))
+    if iscomplex:
+        t2 = t2 + 1j * rng.standard_normal((n, n))
+    t2 = t2.astype(dtype)
     b = t2 @ t2.conj().T / n + np.eye(n, dtype=dtype)
     return a.astype(dtype), b
 

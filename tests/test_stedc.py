@@ -88,3 +88,31 @@ def test_scaling_invariance():
     d = 1e8 * rng.standard_normal(n)
     e = 1e8 * rng.standard_normal(n - 1)
     _check(d, e)
+
+
+def test_stedc_heavy_deflation_compact_assembly():
+    """Clustered (QE-style) spectra deflate most poles; the bucketed
+    compact assembly (lax.switch on the alive count) must stay exact
+    through the unbatched top merges."""
+    import numpy as np
+    import scipy.linalg
+    import jax.numpy as jnp
+    from eigensolver_gpu_tpu.ops.stedc import stedc
+
+    n = 384  # 6 leaves -> binary decomposition 4+2 exercises the
+    # compact fold merge AND the pairs<=2 tree levels
+    rng = np.random.default_rng(33)
+    # tridiagonal with tiny couplings between large identical blocks ->
+    # heavy deflation at every merge
+    d = np.repeat(np.linspace(1.0, 3.0, 8), n // 8)
+    e = np.full(n - 1, 1e-13)
+    e[:: n // 8] = 0.5  # a few real couplings
+    w, q = stedc(jnp.asarray(d), jnp.asarray(e), leaf=64)
+    w, q = np.asarray(w), np.asarray(q)
+    t = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    w_ref = scipy.linalg.eigh_tridiagonal(d, e, eigvals_only=True)
+    np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-12 * n)
+    res = np.abs(t @ q - q * w[None, :]).max()
+    assert res < 1e-12 * n, f"residual {res:.2e}"
+    orth = np.abs(q.T @ q - np.eye(n)).max()
+    assert orth < 1e-12 * n, f"orthogonality {orth:.2e}"
