@@ -37,7 +37,10 @@ from eigensolver_gpu_tpu.ops.unmtr_planar import unmtr_planar  # noqa: E402
 from eigensolver_gpu_tpu.utils.testing import random_hpd_pair  # noqa: E402
 
 
-def timeit(name, f, *args, rep=3):
+from eigensolver_gpu_tpu.utils.roofline import format_row  # noqa: E402
+
+
+def timeit(name, f, *args, rep=3, flops=0.0, prec="f32", bytes_hbm=0.0):
     def scalar(*a):
         out = f(*a)
         return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(out))
@@ -51,7 +54,12 @@ def timeit(name, f, *args, rep=3):
         t0 = time.perf_counter()
         np.asarray(gs(*args))
         ts.append(time.perf_counter() - t0)
-    print(f"  {name:14s}: {min(ts)*1e3:9.1f} ms  (compile {tc:.1f}s)", flush=True)
+    ms = min(ts) * 1e3
+    print(
+        format_row(name, ms, flops=flops, prec=prec, bytes_hbm=bytes_hbm)
+        + f"  (compile {tc:.1f}s)",
+        flush=True,
+    )
     return jax.jit(f)(*args)
 
 
@@ -62,15 +70,25 @@ def main():
     f32 = lambda x: jnp.asarray(np.ascontiguousarray(x), jnp.float32)
     ar, ai, br, bi = f32(a_h.real), f32(a_h.imag), f32(b_h.real), f32(b_h.imag)
 
-    l, info = timeit("pcholesky f32", lambda b0, b1: pcholesky_lower((b0, b1), nb=128), br, bi)
-    x = timeit("ptrsm1 f32", lambda l0, l1, a0, a1: ptrsm_left_lower((l0, l1), (a0, a1), nb=128), *l, ar, ai)
-    y = timeit("ptrsm2 f32", lambda l0, l1, x0, x1: ptrsm_left_lower((l0, l1), pH((x0, x1)), nb=128), *l, *x)
+    # flop/byte models: complex = 4 real MACs; flops = 2*MACs; planar
+    # fp32 gemms run at the f32-'highest' ceiling, the f64 refinement
+    # sweep at the ozaki effective-f64 ceiling; hetrd's bound is its 4
+    # column-loop reads over the trailing triangle (2 planes x 4B)
+    n3 = float(n) ** 3
+    l, info = timeit("pcholesky f32", lambda b0, b1: pcholesky_lower((b0, b1), nb=128), br, bi,
+                     flops=4 * n3 / 3)
+    x = timeit("ptrsm1 f32", lambda l0, l1, a0, a1: ptrsm_left_lower((l0, l1), (a0, a1), nb=128), *l, ar, ai,
+               flops=4 * n3)
+    y = timeit("ptrsm2 f32", lambda l0, l1, x0, x1: ptrsm_left_lower((l0, l1), pH((x0, x1)), nb=128), *l, *x,
+               flops=4 * n3)
     cr, ci = pH(y)
     cr = (cr + cr.T) / 2
     ci = (ci - ci.T) / 2
-    packed = timeit("hetrd f32", lambda c0, c1: hetrd_planar(c0, c1, nb=32), cr, ci)
+    packed = timeit("hetrd f32", lambda c0, c1: hetrd_planar(c0, c1, nb=32), cr, ci,
+                    flops=16 * n3 / 3, bytes_hbm=32 * n3 / 3)
     (pr, pi), d, e, (tr, ti) = packed
-    wq = timeit("stedc f32", lambda d, e: stedc(d, e, leaf=64), d, e)
+    wq = timeit("stedc f32", lambda d, e: stedc(d, e, leaf=64), d, e,
+                flops=8 * n3 / 3)
     w_all, q = wq
     iu = n  # full spectrum, as the mixed path needs
     z0 = q[:, :iu]
@@ -78,11 +96,13 @@ def main():
         "unmtr f32",
         lambda pr, pi, tr, ti, z: unmtr_planar(pr, pi, tr, ti, z, jnp.zeros_like(z), nb=128),
         pr, pi, tr, ti, z0,
+        flops=16 * n3,
     )
     zz = timeit(
         "ptrsm3 f32",
         lambda l0, l1, y0, y1: ptrsm_left_upper(pH((l0, l1)), (y0, y1), nb=128),
         *l, *yv,
+        flops=4 * n3,
     )
     a64 = (jnp.asarray(np.ascontiguousarray(a_h.real)), jnp.asarray(np.ascontiguousarray(a_h.imag)))
     b64 = (jnp.asarray(np.ascontiguousarray(b_h.real)), jnp.asarray(np.ascontiguousarray(b_h.imag)))
@@ -91,6 +111,7 @@ def main():
         "refine f64 x2",
         lambda a0, a1, b0, b1, x0, x1: refine_gevp_planar((a0, a1), (b0, b1), (x0, x1), sweeps=2),
         *a64, *b64, *x64,
+        flops=30 * n3, prec="ozaki",
     )
 
 

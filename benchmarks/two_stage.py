@@ -111,6 +111,24 @@ def main():
         timeit("bulge_chase PALLAS", lambda bd: f_chase_pl(bd)[0], band)
     _, vt, taut = f_chase(band)
     t_q2 = timeit(f"apply_q2 (m={m})", lambda *x: f_q2(*x)[0], vt, taut, y)
+    if dt == jnp.float32:
+        from eigensolver_gpu_tpu.ops.replay_pallas import apply_q2_pallas
+
+        gp = int(os.environ.get("EIGSOLVE_REPLAY_G_PALLAS", "0")) or 3 * b
+        mt = int(os.environ.get("EIGSOLVE_REPLAY_MT", "512"))
+
+        @jax.jit
+        def f_q2p(vt, taut, y):
+            z = apply_q2_pallas(vt, taut, y, n, b, g=gp, m_tile=mt)
+            return jnp.sum(z[0]), z
+
+        t_q2p = timeit(
+            f"apply_q2 PALLAS (g={gp}, mt={mt})",
+            lambda *x: f_q2p(*x)[0], vt, taut, y,
+        )
+        err = jnp.max(jnp.abs(f_q2p(vt, taut, y)[1] - f_q2(vt, taut, y)[1]))
+        log(f"pallas-vs-xla replay max diff: {float(err):.3e}")
+        t_q2 = min(t_q2, t_q2p)
     t_q1 = timeit(f"apply_q1 (m={m})", lambda *x: f_q1(*x)[0], vs, ts, y)
     log(
         f"TOTAL two-stage: {t_sbrd + t_chase + t_q2 + t_q1:.1f} ms "

@@ -169,18 +169,22 @@ def window_qs(vt, taut, n, b, g):
     return qw[:n_waves]
 
 
-def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, n_waves, *refs):
+def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, n_waves,
+                   *refs):
     (y_in, *qws), (y_out,) = refs[: 1 + N_STREAMS], refs[1 + N_STREAMS :]
-    t = pl.program_id(1)
     i32 = jnp.int32
+    t = pl.program_id(1).astype(i32)
     spacing = i32(g + 2 * b)
 
-    @pl.when(t == 0)
+    @pl.when(t == i32(0))
     def _():
         y_out[:, :] = y_in[:, :]
 
-    par = t.astype(i32) % 2
-    c0 = i32(n_groups - 1) - (t.astype(i32) - par) // 2
+    # all scalar math in explicit int32 pairs: under x64, mixed
+    # promotion emits int64 converts Mosaic cannot lower
+    ti = t.astype(i32)
+    par = lax.rem(ti, i32(2))
+    c0 = i32(n_groups - 1) - lax.div(ti - par, i32(2))
     # first slot of the static n_act4 window (matches the host-side
     # base0/u_lo computation in apply_q2_pallas exactly)
     u_lo = jnp.minimum(
@@ -199,7 +203,14 @@ def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, n_waves, *refs):
             j = c0 + u
             k = par + i32(2) * u
             a0 = j * i32(g) + k * i32(b)
+            # provably 8-aligned: fy = 7 mod 8, g = b = 0 mod 8 make
+            # every base = 0 mod 8, and spacing = g+2b = 0 mod 8.
+            # Active slots always land in [fy+1, fy+n-2+P); the clamp
+            # (8-aligned bounds, so the multiple_of proof survives)
+            # keeps INACTIVE slots' never-executed addresses in range.
             r0 = base + (i32(s * q4) + i) * spacing
+            r0 = jnp.clip(r0, i32(0), i32(rows - P))
+            r0 = pl.multiple_of(r0, 8)
 
             @pl.when((j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3)))
             def _():
@@ -219,7 +230,7 @@ def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, n_waves, *refs):
 @functools.partial(
     jax.jit, static_argnames=("n", "b", "g", "m_tile", "interpret")
 )
-def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=1024, interpret=False):
+def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=512, interpret=False):
     """y <- Q2 y, Mosaic replay (fp32). Drop-in for ops/sb2st.apply_q2
     on the fp32 TPU path; same reflector storage, same wave schedule.
 
@@ -241,20 +252,19 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=1024, interpret=False):
     n_act4 = -(-n_act // N_STREAMS) * N_STREAMS
     q4 = n_act4 // N_STREAMS
 
-    # recompute base bounds with the stream-padded slot count (the
-    # kernel clamps u_lo with n_act4, not n_act)
-    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
-    base0 = (geo["c0"] + u_lo) * g + 1 + geo["par"] * b + 2 * b * u_lo
-    bmin = int(base0.min())
-    bmax = int(base0.max())
-    # front pad fy: smallest value >= -bmin with (fy + base0) % 8 == 0;
-    # all base0 are odd-free mod 8? base0 % 8 == 1 (g, 2b = 0 mod 8)
-    fy = (max(0, -bmin) + 7) // 8 * 8 + 7
-    rows = fy + bmax + (n_act4 - 1) * (g + 2 * b) + P
-    rows = -(-rows // 8) * 8
+    # front pad: ACTIVE slots always have row base a0+1 >= 1, so fy only
+    # needs the alignment invariant (fy = 7 mod 8 -> every base = 0 mod
+    # 8); inactive slots' addresses are clamped in-kernel and never
+    # dereferenced. Rows cover the active span [fy+1, fy+n-2+P).
+    fy = 7
+    rows = -(-(fy + n + P + 8) // 8) * 8
 
     m = y.shape[1]
     mt = min(m_tile, -(-m // 8) * 8)
+    # auto-shrink the m-tile until the resident-y (in+out, double-
+    # buffered by the pipeline) + qw stream buffers fit VMEM
+    while mt > 64 and rows * mt * 4 * 4 + 8 * q4 * P * P * 4 > 100 * 2**20:
+        mt //= 2
     mp = -(-m // mt) * mt
     y_p = jnp.zeros((rows, mp), jnp.float32)
     y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))
@@ -263,7 +273,7 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=1024, interpret=False):
         qw = window_qs(vt, taut, n, b, g)  # (n_waves, n_act4, P, P)
 
     kernel = functools.partial(
-        _replay_kernel, n, b, g, n_groups, n_u, n_act4, q4, fy, n_waves
+        _replay_kernel, n, b, g, n_groups, n_u, n_act4, q4, fy, rows, n_waves
     )
     y_spec = pl.BlockSpec(
         (rows, mt),
