@@ -325,8 +325,11 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
     batch of staircase-WY gemms, and one write-back; ~(2n/g + n/b)
     waves instead of ~n^2/(gb) sequential windows. g > 2b trades a
     shorter critical path (fewer, taller windows: l_win = b+g-1 rows)
-    against more wasted reflector-free rows per slot. All reflector
-    repacking below is gather-free (_shift_rows)."""
+    against more wasted reflector-free rows per slot. The timestep->
+    sweep-major repack is gather-free (_shift_rows); each wave then row-
+    gathers its ~n_act*g reflectors from the compact store (tiny next
+    to the wave's y traffic, and O(n*b) memory instead of the O(n^2)
+    pre-skewed copy that dominated the sharded config's memory plan)."""
     if g is None:
         g = b
     t3, s_slots, _ = vt.shape
@@ -337,59 +340,56 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
     n_groups = -(-max(n - 2, 1) // g)
     nv = max(n - 2, 1)  # sweeps v in [0, n-3]
 
-    with trace_range("apply_q2_repack"):
-        v2, t2 = repack_sweep_major(vt, taut, b, n)
-
-        # --- parity pre-skew: wave tau has k = P + 2u, group j = C + u
-        # (C = G-1 - (tau-P)/2), so slot u reads V2[P+2u, (C+u)g : +g].
-        # Shifting row u of the parity-split store left by u*g makes the
-        # whole wave one slice at column C*g (+front offset F).
-        kcap = 3 * s_slots
-        # slots per wave: slot u holds window (j = c0+u, k = par+2u), so
-        # u = k//2 <= kmax//2 -- bounded by the HOP count, never by
-        # n_groups (a min(n_groups, ..) here silently dropped the
-        # high-hop windows of low groups whenever g > 2b, where
-        # n_groups < kmax//2+1 -- the round-2 "g <= 2b corruption").
-        # Out-of-range slots (j >= n_groups or k > kmax) read zeros and
-        # reduce to identity windows.
-        n_u = kmax // 2 + 1
-        f_off = (kmax // 2 + 2) * g  # front zeros: C*g can be negative
-        y_cols = f_off + n_groups * g + g
-        v4 = []
-        t4 = []
-        for p in (0, 1):
-            v2p = v2[p::2][:n_u] if v2[p::2].shape[0] >= n_u else jnp.pad(
-                v2[p::2], ((0, n_u - v2[p::2].shape[0]), (0, 0), (0, 0))
-            )
-            t2p = t2[p::2][:n_u] if t2[p::2].shape[0] >= n_u else jnp.pad(
-                t2[p::2], ((0, n_u - t2[p::2].shape[0]), (0, 0))
-            )
-            v2p = jnp.pad(v2p, ((0, 0), (f_off, 0), (0, 0)))
-            t2p = jnp.pad(t2p, ((0, 0), (f_off, 0)))
-            v4.append(
-                _shift_rows(
-                    v2p.reshape(n_u, (f_off + nv) * b), g * b, y_cols * b
-                ).reshape(n_u, y_cols, b)
-            )
-            t4.append(_shift_rows(t2p, g, y_cols))
-        v4 = jnp.stack(v4)  # (2, n_u, y_cols, b)
-        t4 = jnp.stack(t4)  # (2, n_u, y_cols)
-
-    # pad y rows: wave row base C*g + 1 + P*b can be negative (front)
-    # and the top wave reads past n (back)
-    fy = f_off + b + 1
-    span = n_u * (g + 2 * b)
-    y_p = jnp.zeros((fy + n + span + l_win, m), dtype)
-    y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))
-
-    n_waves = 2 * (n_groups - 1) + kmax + 1
-    eye_g = jnp.eye(g, dtype=dtype)
+    # slots per wave: slot u holds window (j = c0+u, k = par+2u), so
+    # u = k//2 <= kmax//2 -- bounded by the HOP count, never by
+    # n_groups (a min(n_groups, ..) here silently dropped the
+    # high-hop windows of low groups whenever g > 2b, where
+    # n_groups < kmax//2+1 -- the round-2 "g <= 2b corruption").
+    # Out-of-range slots (j >= n_groups or k > kmax) read zeros and
+    # reduce to identity windows.
+    kcap = 3 * s_slots
+    n_u = kmax // 2 + 1
     # active slots per wave: windows intersecting rows [0, n) number at
-    # most cdiv(n-2, g+2b)+1 (spacing g+2b); slicing n_act slots from
+    # most cdiv(n-2, g+2b)+1 (spacing g+2b); reading n_act slots from
     # the first possibly-active one (u_lo) skips the identity windows
     # (j < 0 or rows past n) that n_u = kmax//2+1 otherwise drags
     # through the gemms -- at n=8192/g=32 that is 87 of 128 slots.
     n_act = min(n_u, -(-(n - 2) // (g + 2 * b)) + 1)
+
+    with trace_range("apply_q2_repack"):
+        # sweep-major store, padded so every out-of-range (k, sweep)
+        # index lands in a zero region: rows kmax+1.. and sweeps nv..
+        # (the round-2 parity PRE-SKEW materialized a (2, n_u,
+        # ~1.5n + n, b) shifted copy so each wave was one slice -- at
+        # n=16384 that is GBs of mostly-zero replicated temp, the bulk
+        # of the sharded config's memory plan. Per-wave index-computed
+        # row gathers from the compact store read ~n_act*g*b elements
+        # instead: negligible next to the wave's y traffic.)
+        v2, t2 = repack_sweep_major(vt, taut, b, n)
+        nvp = n_groups * g + g
+        kp = max(kmax + 2, kcap)
+        v2p = jnp.pad(v2, ((0, kp - kcap), (0, nvp - nv), (0, 0)))
+        t2p = jnp.pad(t2, ((0, kp - kcap), (0, nvp - nv)))
+        v2f = v2p.reshape(kp * nvp, b)
+        t2f = t2p.reshape(kp * nvp)
+
+    # pad y rows: the clamped wave bases dip at most ~2b below row 0
+    # (exact static min below) and the top windows read past n
+    taus_np = np.arange(2 * (n_groups - 1) + kmax + 1)
+    par_np = taus_np % 2
+    c0_np = n_groups - 1 - (taus_np - par_np) // 2
+    ulo_np = np.minimum(np.maximum(0, -c0_np), n_u - n_act)
+    base_np = (c0_np + ulo_np) * g + 1 + par_np * b + 2 * b * ulo_np
+    fy = int(max(0, -base_np.min())) + 8
+    span = n_act * (g + 2 * b)
+    rows_p = fy + max(int(base_np.max()) + span + l_win, n) + 8
+    y_p = jnp.zeros((rows_p, m), dtype)
+    y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))
+
+    n_waves = 2 * (n_groups - 1) + kmax + 1
+    eye_g = jnp.eye(g, dtype=dtype)
+    iota_u = jnp.arange(n_act, dtype=jnp.int32)
+    iota_g = jnp.arange(g, dtype=jnp.int32)
 
     def wave(tau, y_p):
         par = tau % 2
@@ -398,12 +398,18 @@ def apply_q2(vt, taut, y, n, b, g=None, tsolve="qform"):
         # static n_act window stays in range; active slots are
         # contiguous from max(0, -c0) with count <= n_act (row-span)
         u_lo = jnp.minimum(jnp.maximum(0, -c0), n_u - n_act)
-        vblk = lax.dynamic_slice(
-            v4, (par, u_lo, c0 * g + f_off, 0), (1, n_act, g, b)
-        ).reshape(n_act, g, b)
-        taus = lax.dynamic_slice(
-            t4, (par, u_lo, c0 * g + f_off), (1, n_act, g)
-        ).reshape(n_act, g)
+        u = u_lo + iota_u
+        jw = c0 + u
+        kw = par + 2 * u
+        ok = (jw >= 0) & (jw < n_groups) & (kw <= kmax) \
+            & (jw * g + kw * b <= n - 3)
+        jj = jnp.where(ok, jw, n_groups)   # -> zero sweep padding
+        kk = jnp.where(ok, kw, kp - 1)     # -> zero k row
+        ridx = (kk * nvp + jj * g)[:, None] + iota_g[None, :]
+        vblk = jnp.take(v2f, ridx.reshape(-1), axis=0).reshape(
+            n_act, g, b
+        )
+        taus = jnp.take(t2f, ridx.reshape(-1), axis=0).reshape(n_act, g)
         tsafe = jnp.where(taus == 0, 1.0, taus)
         # staircase embedding vw[u, r, s] = vblk[u, s, r-s] (skew)
         vw = jnp.swapaxes(
