@@ -47,7 +47,7 @@ def _secular_iters(dt):
     return 60 if jnp.finfo(dt).bits == 64 else 35
 
 
-def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False):
+def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False, mesh=None):
     """Merge two solved blocks coupled by off-diagonal ``beta``.
 
     [[T1, beta e e^T^], [.., T2]] = blockdiag(D1', D2') + rho v v^T with
@@ -64,6 +64,12 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False):
     the squared deflation fraction). ONLY for unbatched call sites:
     under vmap the lax.switch would execute every bucket for the whole
     batch.
+
+    mesh: row-shard the O(n2^2) secular/assembly intermediates over
+    'tp' (unbatched top merges only). The secular reductions run over
+    axis=1 per root, so row sharding needs NO collectives inside the
+    while_loop; without the constraints the partitioner replicates
+    several (n2, n2) temps per device (measured 5.3 GB at n=16384).
     """
     m = d1.shape[0]
     m2_ = d2.shape[0]
@@ -111,9 +117,17 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False):
     dp_ext = jnp.concatenate([dp, jnp.array([0.0], dt)])
     nxt_d = jnp.where(nxt_above < n2, dp_ext[jnp.minimum(nxt_above, n2 - 1)], ub)
 
+    if mesh is not None and n2 % mesh.shape["tp"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _row = NamedSharding(mesh, PartitionSpec("tp", None))
+        shard_rows = lambda x: lax.with_sharding_constraint(x, _row)
+    else:
+        shard_rows = lambda x: x
+
     # --- secular solve: all roots at once, shifted coordinates ---
     # pole-difference matrix: pd[i, j] = dp[j] - dp[i] (exact f64 diffs)
-    pd = dp[None, :] - dp[:, None]
+    pd = shard_rows(dp[None, :] - dp[:, None])
     gap = nxt_d - dp  # interval width for root i: (dp[i], dp[i]+gap)
 
     # psi/phi split masks: for root i, psi sums poles j <= i, phi the rest
@@ -257,7 +271,7 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False):
     # eigenvectors); interlacing telescopes the partial products into
     # f64 range.
     sig_minus_d = jnp.where(sig_right[:, None], -(pd - gap[:, None]), -pd)
-    lam_minus_d = sig_minus_d + mu[:, None]  # [k, i] = lam_k - dp_i
+    lam_minus_d = shard_rows(sig_minus_d + mu[:, None])  # [k,i] = lam_k - dp_i
     pdT = -pd  # [k, i] = dp_k - dp_i
     eye = jnp.eye(n2, dtype=bool)
     both = alive[:, None] & alive[None, :]
@@ -273,10 +287,10 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False):
     # --- eigenvector assembly ---
     # u[i, k] = zhat_i / (dp_i - lam_k) for alive i,k; unit columns for
     # deflated k; then Q = [Q1 0; 0 Q2][:, perm] @ U  (one MXU gemm).
-    denom_u = -lam_minus_d.T  # [i, k] = dp_i - lam_k
+    denom_u = shard_rows(-lam_minus_d.T)  # [i, k] = dp_i - lam_k
     safe_u = jnp.where(denom_u == 0, jnp.ones((), dt), denom_u)
     u = jnp.where(both.T & both, zhat[:, None] / safe_u, 0.0)
-    u = jnp.where(both, u, 0.0)
+    u = shard_rows(jnp.where(both, u, 0.0))
     norms = jnp.sqrt(jnp.sum(u * u, axis=0))
     u = u / jnp.where(norms == 0, jnp.ones((), dt), norms)[None, :]
     u = jnp.where((~alive[None, :]) & eye, jnp.ones((), dt), u)
@@ -433,14 +447,16 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
                 q1 = qb_c.reshape(pairs, 2, m, m)[:, 0]
                 q2 = qb_c.reshape(pairs, 2, m, m)[:, 1]
                 betas = e_full[start_el + (2 * jnp.arange(pairs) + 1) * m - 1]
-                if pairs <= 2 and mesh is None:
+                if pairs <= 2:
                     # unbatched top merges (the dominant assembly gemms):
                     # call directly so the deflation-aware bucketed
                     # assembly can lax.switch on the alive count
+                    # (unsharded) and the O(n2^2) secular temps can be
+                    # row-sharded (mesh runs)
                     outs = [
                         _merge_pair(
                             w1[p], q1[p], w2[p], q2[p], betas[p], gap_scale,
-                            compact=True,
+                            compact=mesh is None, mesh=mesh,
                         )
                         for p in range(pairs)
                     ]
@@ -474,7 +490,8 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
             else:
                 beta = e_full[start_blk * leaf - 1]
                 acc_w, acc_q = _merge_pair(
-                    acc_w, acc_q, wg, qg, beta, gap_scale, compact=mesh is None
+                    acc_w, acc_q, wg, qg, beta, gap_scale,
+                    compact=mesh is None, mesh=mesh,
                 )
                 acc_q = shard_block(acc_q)
 
