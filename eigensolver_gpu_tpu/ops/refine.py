@@ -215,11 +215,12 @@ def _run_sweeps(one_sweep, x, w_rows, n_full, extra_max, n, dt):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sweeps", "coarse_first", "chunk", "gemm", "sel", "extra_max"
+        "sweeps", "coarse_first", "chunk", "gemm", "sel", "extra_max",
+        "mesh",
     ),
 )
 def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None,
-                gemm="ozaki", sel=None, w0=None, extra_max=0):
+                gemm="ozaki", sel=None, w0=None, extra_max=0, mesh=None):
     """Refine generalized eigenpairs of (a, b) from the approximate
     B-orthonormal full basis ``x`` (n x n, ascending eigenvalue order).
 
@@ -228,6 +229,10 @@ def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None,
     full-length fp32-pipeline eigenvalue estimates, required with a
     strict-subset sel.  extra_max: defect-gated auto-escalation sweeps.
     Returns (w (ms,), x_block (n, ms)).
+
+    mesh: row-shard a, b, x over 'tp' and let the SPMD partitioner own
+    the contraction psums (ozaki stays gated to mesh=None, as in
+    refine_eigh).
 
     The real/complex-dtype counterpart of refine_gevp_planar: lets the
     ENTIRE fp32 generalized pipeline (Cholesky, sygst, tridiagonal,
@@ -250,6 +255,13 @@ def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None,
         w0 = jnp.zeros((m,), rdt)
     w_rows = w0.astype(rdt)
     is64 = jnp.finfo(rdt).bits == 64
+    if mesh is not None and n % mesh.shape["tp"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = NamedSharding(mesh, PartitionSpec("tp", None))
+        a = jax.lax.with_sharding_constraint(a, spec)
+        b = jax.lax.with_sharding_constraint(b, spec)
+        x = jax.lax.with_sharding_constraint(x, spec)
 
     with trace_range("refine_gevp"):
         if coarse_first and sweeps > 1 and is64:
@@ -267,7 +279,7 @@ def refine_gevp(a, b, x, sweeps=2, coarse_first=True, chunk=None,
             n_full = max(sweeps - n_coarse, 1)
         else:
             n_full = sweeps
-        mm, mm_dx = _resolve_mm(gemm, dt)
+        mm, mm_dx = _resolve_mm(gemm, dt, mesh)
 
         def one_sweep(x, w_rows):
             return _sweep_gevp(a, b, x, sel, w_rows, dt, chunk, mm, mm_dx)

@@ -43,6 +43,44 @@ def _sharded_step(a, b, mesh, il, iu, cfg):
     # UPLO='U' contract, same normalization as the unsharded driver
     a = _from_upper(a)
     b = _from_upper(b)
+
+    mixed = cfg.compute_dtype == "float32" and a.dtype == jnp.float64
+    if mixed:
+        # full-fp32 sharded pipeline + sharded selected-range fp64
+        # generalized refinement -- the same scheme as the single-chip
+        # mixed driver (models/sygvdx.py). Running only phase 3 in fp32
+        # would leave Cholesky/sygst/back-substitution on the emulated
+        # fp64 path AND double the per-device memory plan (measured:
+        # the fp64 sygst_blocked alone plans ~9 GB/device at n=16384).
+        from eigensolver_gpu_tpu.ops.refine import refine_gevp
+
+        inner = SolverConfig(
+            nb_sygst=cfg.nb_sygst, nb_tridiag=cfg.nb_tridiag,
+            nb_back=cfg.nb_back, stedc_leaf=cfg.stedc_leaf,
+            sygst_mode=cfg.sygst_mode, use_pallas=cfg.use_pallas,
+            tridiag_mode=cfg.tridiag_mode, band=cfg.band,
+            two_stage_min_n=cfg.two_stage_min_n, replay_g=cfg.replay_g,
+        )
+        r32 = _sharded_step(
+            a.astype(jnp.float32), b.astype(jnp.float32), mesh, 1, n, inner
+        )
+        sel0 = max(0, il - 1 - cfg.refine_margin)
+        sel1 = min(n, iu + cfg.refine_margin)
+        w, z = refine_gevp(
+            a, b, r32.z.astype(a.dtype), sweeps=cfg.refine_iters,
+            chunk=2048 if n >= 8192 else None,
+            sel=(sel0, sel1 - sel0), w0=r32.w.astype(a.dtype),
+            extra_max=cfg.refine_extra_max, mesh=mesh,
+        )
+        order = jnp.argsort(w)
+        w = w[order]
+        z = lax.with_sharding_constraint(z[:, order], row)
+        lo = il - 1 - sel0
+        return SygvdxResult(
+            w=w[lo : lo + (iu - il + 1)], z=z[:, lo : lo + (iu - il + 1)],
+            info=r32.info,
+        )
+
     u, info = cholesky_upper(b)
     # reduction to standard form with sharded operands; XLA partitions
     # the solves/gemms and inserts ICI collectives. The blocked
