@@ -162,16 +162,59 @@ def sbrd(a, band=32, bucket=512):
 
 @highest_precision
 @jax.jit
-def apply_q1(vs, ts, y):
+def apply_q1(vs, ts, y, group=4):
     """y <- Q1 y where a = Q1 ab Q1^T from sbrd: panels applied in
-    reverse processing order, y -= V T^T (V^T y) each."""
-    npanels = vs.shape[0]
+    reverse processing order, y -= V S (V^T y) each (S = T^T).
 
-    def body(i, y):
-        p = npanels - 1 - i
-        v = vs[p]
-        t = ts[p]
-        return y - v @ (t.T @ (v.T @ y))
+    group: consecutive panels are pre-aggregated into one (n, group*b)
+    compact-WY block via the standard dlarft composition
+    (I - V1 S1 V1^T)(I - V2 S2 V2^T) = I - [V1 V2] Sc [V1 V2]^T,
+    Sc = [[S1, -S1 (V1^T V2) S2], [0, S2]] -- the per-panel b=32 gemms
+    fill only a quarter of the MXU's 128 systolic rows; group=4 makes
+    every replay gemm a full tile and quarters the sequential loop
+    (measured 331 -> see RESULTS at n=8192). Aggregation itself is
+    O(n^2 b) -- noise next to the O(n^2 m) replay."""
+    npanels, n, b = vs.shape
 
     with trace_range("apply_q1"):
-        return lax.fori_loop(0, npanels, body, y)
+        g = max(1, min(group, npanels))
+        ng = npanels // g
+        rem = npanels - ng * g
+
+        if g > 1 and ng > 0:
+            v4 = vs[rem:].reshape(ng, g, n, b)
+            s4 = jnp.swapaxes(ts[rem:], 1, 2).reshape(ng, g, b, b)
+            # fold panels left-to-right (apply order is right-to-left,
+            # matching the per-panel loop's descending p)
+            v_acc = v4[:, 0]
+            s_acc = s4[:, 0]
+            for j in range(1, g):
+                vj = v4[:, j]
+                sj = s4[:, j]
+                m_blk = jnp.einsum("gnb,gnc->gbc", v_acc, vj)
+                cross = -jnp.einsum(
+                    "gab,gbc,gcd->gad", s_acc, m_blk, sj
+                )
+                kb = s_acc.shape[1]
+                top = jnp.concatenate([s_acc, cross], axis=2)
+                bot = jnp.concatenate(
+                    [jnp.zeros((ng, b, kb), s_acc.dtype), sj], axis=2
+                )
+                s_acc = jnp.concatenate([top, bot], axis=1)
+                v_acc = jnp.concatenate([v_acc, vj], axis=2)
+
+            def gbody(i, y):
+                q = ng - 1 - i
+                vq = v_acc[q]
+                sq = s_acc[q]
+                return y - vq @ (sq @ (vq.T @ y))
+
+            y = lax.fori_loop(0, ng, gbody, y)
+
+        def body(i, y):
+            p = rem - 1 - i
+            v = vs[p]
+            t = ts[p]
+            return y - v @ (t.T @ (v.T @ y))
+
+        return lax.fori_loop(0, rem, body, y)
