@@ -84,8 +84,11 @@ def main():
     cr, ci = pH(y)
     cr = (cr + cr.T) / 2
     ci = (ci - ci.T) / 2
+    # hetrd bytes: the column loop's effective traffic is ~2 full passes
+    # over the trailing triangle per column across both planes
+    # (calibrated against the measured 549 ms / 635 GB/s round-2 figure)
     packed = timeit("hetrd f32", lambda c0, c1: hetrd_planar(c0, c1, nb=32), cr, ci,
-                    flops=16 * n3 / 3, bytes_hbm=32 * n3 / 3)
+                    flops=16 * n3 / 3, bytes_hbm=16 * n3 / 3)
     (pr, pi), d, e, (tr, ti) = packed
     wq = timeit("stedc f32", lambda d, e: stedc(d, e, leaf=64), d, e,
                 flops=8 * n3 / 3)

@@ -164,12 +164,16 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False, mesh=None):
         psi, phi, dpsi, dphi = secular_parts(mu, sig_right)
         f = 1.0 + psi + phi
         fp = dpsi + dphi
-        # dlaed4-style residual convergence (dlaed4.f line ~320: the
-        # iteration stops when |f| is below roundoff in the secular
-        # sum); the bracket-width test alone kept converged lanes
-        # iterating 15-25 sweeps because only one bracket side moves
-        # per step while the rational iterate converges quadratically.
-        conv = jnp.abs(f) <= 8.0 * eps * n2 * (
+        # dlaed4-style residual convergence: stop a lane once |f| is at
+        # the roundoff floor of its own evaluation (the bracket-width
+        # test alone kept converged lanes iterating 15-25 sweeps:
+        # only one bracket side moves per step while the rational
+        # iterate converges quadratically). NO n2 factor here -- an
+        # 8*eps*n2 threshold measured ~4e-3*scale for fp32 merges at
+        # n2=4096, froze the roots early, degraded the eigenvector
+        # basis, and triggered a whole extra fp64 refinement sweep in
+        # the mixed drivers (+128 ms on the bench headline).
+        conv = jnp.abs(f) <= 8.0 * eps * (
             1.0 + jnp.abs(psi) + jnp.abs(phi)
         )
         lo = jnp.where(f < 0, mu, lo)

@@ -8,7 +8,10 @@ chip, not prior rounds. Ceilings are MEASURED on the target v5e
   bf16 MXU pair-gemm      ~80   TF/s (measured 76-83)
   f32 'highest' gemm      ~25   TF/s (3-pass bf16)
   emulated f64 dot        ~1.7  TF/s (1.4-1.9)
-  ozaki-48 effective f64  ~2.4  TF/s (2.3-2.5, incl. slicing)
+  ozaki effective f64     ~4.5  TF/s (the slice-REUSED refinement
+                          sweep, measured from the round-3 stage table;
+                          a standalone 48-bit product pays full slicing
+                          and reaches ~2.5)
   HBM stream (XLA ops)    ~680  GB/s
   single Pallas DMA       ~71   GB/s per stream
 """
@@ -19,7 +22,7 @@ CEILINGS = {
     "bf16": 80e12,
     "f32": 25e12,
     "f64": 1.7e12,
-    "ozaki": 2.4e12,
+    "ozaki": 4.5e12,
     "hbm": 680e9,
 }
 
