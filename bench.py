@@ -96,9 +96,16 @@ def main():
     )
     log(f"bench: n={n} dtype={dtype} mode={mode} il=1 iu={iu} devices={jax.devices()}")
 
+    spectrum = os.environ.get("EIGSOLVE_BENCH_SPECTRUM", "random")
     if dtype == "complex128":
-        a_h, b_h = random_hpd_pair(n, seed=0)
-        name = f"zhegvdx_n{n}_walltime"
+        if spectrum == "qe":
+            from eigensolver_gpu_tpu.utils.testing import qe_style_pair
+
+            a_h, b_h = qe_style_pair(n, seed=0)
+            name = f"zhegvdx_n{n}_qe_walltime"
+        else:
+            a_h, b_h = random_hpd_pair(n, seed=0)
+            name = f"zhegvdx_n{n}_walltime"
         # the serving TPU stack has no complex dtypes ("Element type C128
         # is not supported"); solve the Hermitian problem with the planar
         # (re,im) pipeline (models/zhegvdx_planar.py) -- native complex
