@@ -60,7 +60,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     dt = jnp.float32 if (len(sys.argv) < 3 or sys.argv[2] == "float32") else jnp.float64
     m = int(sys.argv[3]) if len(sys.argv) > 3 else n // 4
-    b = 32
+    b = int(os.environ.get("EIGSOLVE_BAND", "32"))
     log(f"n={n} dtype={dt.__name__} m={m} band={b} devices={jax.devices()}")
 
     rng = np.random.default_rng(0)
