@@ -116,10 +116,12 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         u, info = cholesky_upper(b)  # PHASE 1 (zhegvdx_gpu.F90:135)
         c = sygst(a, u, mode=sygst_mode, nb=cfg.nb_sygst)  # PHASE 2 (:158)
         w, y = syevdx(c, il=il, iu=iu, cfg=cfg)  # PHASE 3 (:163)
-        # PHASE 4: x = U^{-1} y (cublasZtrsm, zhegvdx_gpu.F90:169)
-        z = lax.linalg.triangular_solve(
-            u, y, left_side=True, lower=False, transpose_a=False
-        )
+        # PHASE 4: x = U^{-1} y (cublasZtrsm, zhegvdx_gpu.F90:169);
+        # fp32 pipelines use the inverse-diagonal blocked solve
+        # (ops/trsm.py), fp64 keeps exact substitution
+        from eigensolver_gpu_tpu.ops.trsm import trsm_phase4
+
+        z = trsm_phase4(u, y)
         return SygvdxResult(w=w, z=z, info=info)
 
 

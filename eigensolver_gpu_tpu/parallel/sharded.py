@@ -102,9 +102,14 @@ def _sharded_step(a, b, mesh, il, iu, cfg):
     c = lax.with_sharding_constraint(c, row)
     w, y = syevdx(c, il=il, iu=iu, cfg=cfg, mesh=mesh)
     y = lax.with_sharding_constraint(y, row)
-    z = lax.linalg.triangular_solve(
-        u, y, left_side=True, lower=False, transpose_a=False
-    )
+    # phase-4 back-substitution: the inverse-diagonal blocked solve
+    # (ops/trsm.py) replaces XLA's whole-matrix solve on the fp32
+    # pipeline -- its correction gemms partition over the mesh instead
+    # of serializing a collective chain, and the O(n) full-width solve
+    # temps (~3 GB/device at n=16384, RESULTS.md) disappear
+    from eigensolver_gpu_tpu.ops.trsm import trsm_phase4
+
+    z = trsm_phase4(u, y)
     z = lax.with_sharding_constraint(z, row)
     return SygvdxResult(w=w, z=z, info=info)
 
