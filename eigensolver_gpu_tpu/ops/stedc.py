@@ -337,12 +337,21 @@ def _merge_pair(d1, q1, d2, q2, beta, gap_scale, compact=False, mesh=None):
 
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("leaf", "leaf_solver", "mesh"))
-def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
+def stedc(d, e, leaf=64, leaf_solver=None, mesh=None):
     """All eigenpairs of the symmetric tridiagonal (d, e), on device.
 
-    leaf_solver: 'jacobi' (ops/jacobi.py -- robust on platforms whose
-    fp64 is double-word emulated and whose eigh quality is uncertain) or
-    'xla' (jnp.linalg.eigh).
+    leaf_solver: None = auto (see below), 'jacobi' (ops/jacobi.py), or
+    'xla' (jnp.linalg.eigh).  Auto picks 'xla' for fp32 and 'jacobi'
+    for fp64.  Rationale (measured on the target chip): the Jacobi
+    sweep loop is sequential-depth bound -- sweeps*(leaf-1) ~ 630 tiny
+    fori_loop steps cost ~100 ms regardless of n, which WAS the entire
+    fixed cost of small-n stedc (benchmarks/stedc_micro.py: leaf=64
+    jacobi 102 ms device vs xla ~0).  XLA's batched fp32 eigh under
+    ``highest`` matmul precision reaches orth ~1e-6 / residual
+    ~n*eps32 (validated on-chip); it is NOT trusted in fp64, where the
+    platform's double-word emulation makes its internals uncertain --
+    the fp64 path keeps the Jacobi solver whose accuracy was validated
+    against LAPACK on this stack.
 
     mesh: optional Mesh with a 'tp' axis. Lower merge levels shard the
     independent-pair batch axis over it; once pairs < devices the merge
@@ -352,6 +361,8 @@ def stedc(d, e, leaf=64, leaf_solver="jacobi", mesh=None):
 
     n = d.shape[0]
     dt = d.dtype
+    if leaf_solver is None:
+        leaf_solver = "xla" if jnp.finfo(dt).bits == 32 else "jacobi"
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
