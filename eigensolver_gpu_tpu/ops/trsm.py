@@ -88,33 +88,25 @@ def _trinv_lower_batched(l, base=16):
     return inv.reshape(k, nb, nb)
 
 
-def _segments(nblocks, nseg=4):
-    """Split the solve loop into nseg contiguous ranges so each range's
-    correction gemm uses a static width matching its worst case (the
-    planar _chol_segments scheme)."""
-    out = []
-    step = -(-nblocks // nseg)
-    lo = 0
-    while lo < nblocks:
-        hi = min(lo + step, nblocks)
-        out.append((lo, hi))
-        lo = hi
-    return out
-
-
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("nb",))
 def trsm_left_upper_inv(u, b, nb=512):
     """Solve U X = B (U upper triangular, B (n, m)) via batched-inverted
-    diagonal blocks + blocked back-substitution: ~n/nb sequential steps,
+    diagonal blocks + blocked back-substitution: n/nb sequential steps,
     each one correction gemm + one small block gemm.
+
+    The block loop is UNROLLED with static slice starts -- on a sharded
+    mesh a fori_loop's traced dynamic_slice starts on the row-sharded
+    operands force the SPMD partitioner to materialize replicated copies
+    of U and X (measured +3.2 GB/device at n=16384); static slices keep
+    every correction gemm partitionable and exact-area (no masking, no
+    segment buckets).  n/nb stays <= ~64 at every target size.
 
     fp32-pipeline use only (see module docstring); requires n % nb == 0
     and nb a power-of-two multiple of 16 -- callers fall back to
     ``lax.linalg.triangular_solve`` otherwise.
     """
     n = u.shape[0]
-    m = b.shape[1]
     if n % nb != 0:
         raise ValueError(f"trsm_left_upper_inv requires n % nb == 0, got {n} % {nb}")
     nblocks = n // nb
@@ -125,27 +117,14 @@ def trsm_left_upper_inv(u, b, nb=512):
     inv = _trinv_lower_batched(jnp.swapaxes(diags, 1, 2))
     inv = jnp.swapaxes(inv, 1, 2)  # batched upper-triangular inverses
 
-    def make_body(w):
-        # Correction width w (static per segment): block k reads solved
-        # rows [k0+nb, n) of x, all inside the rightmost w columns.
-        def body(i, x):
-            k = nblocks - 1 - i
-            k0 = k * nb
-            urow = lax.dynamic_slice(u, (k0, n - w), (nb, w))
-            cmask = lax.broadcasted_iota(jnp.int32, (1, w), 1) + (n - w) >= k0 + nb
-            urow = jnp.where(cmask, urow, jnp.zeros((), u.dtype))
-            xw = lax.dynamic_slice(x, (n - w, 0), (w, m))
-            rhs = lax.dynamic_slice(b, (k0, 0), (nb, m)) - urow @ xw
-            ik = lax.dynamic_slice(inv, (k, 0, 0), (1, nb, nb))[0]
-            return lax.dynamic_update_slice(x, ik @ rhs, (k0, 0))
-
-        return body
-
     x = jnp.zeros_like(b)
-    for lo, hi in _segments(nblocks):
-        # blocks i in [lo, hi) read solved rows >= (nblocks-hi+1)*nb
-        w = max(hi - 1, 1) * nb
-        x = lax.fori_loop(lo, hi, make_body(w), x)
+    for k in range(nblocks - 1, -1, -1):
+        k0 = k * nb
+        k1 = k0 + nb
+        rhs = b[k0:k1]
+        if k1 < n:
+            rhs = rhs - u[k0:k1, k1:] @ x[k1:]  # solved rows only
+        x = x.at[k0:k1].set(inv[k] @ rhs)
     return x
 
 
