@@ -109,8 +109,16 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
 
     # XLA's whole-matrix triangular solve keeps O(n) full-width block
     # temps alive, which OOMs a single chip at n >= 8192 (measured);
-    # the blocked recurrence is memory-frugal there.
-    sygst_mode = "blocked" if (cfg.sygst_mode == "full" and n >= 8192) else cfg.sygst_mode
+    # the blocked recurrence is memory-frugal there.  fp32 pipelines
+    # (refinement absorbs the block-inverse forward error) use the
+    # static-sliced inverse-diagonal solves instead -- partitionable
+    # gemms, no full-width solve temps (ops/sygst.sygst_inv).
+    sygst_mode = cfg.sygst_mode
+    if sygst_mode == "full":
+        if a.dtype in (jnp.float32, jnp.complex64) and n % 512 == 0 and n >= 1024:
+            sygst_mode = "inv"
+        elif n >= 8192:
+            sygst_mode = "blocked"
 
     with trace_range("sygvdx"):
         u, info = cholesky_upper(b)  # PHASE 1 (zhegvdx_gpu.F90:135)

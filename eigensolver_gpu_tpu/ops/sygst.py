@@ -132,8 +132,53 @@ def sygst_blocked(a, u, nb=512, n_buckets=4):
         return a[:n, :n]
 
 
+@highest_precision
+def sygst_inv(a, u, nb=512):
+    """C = U^{-H} A U^{-1} via the inverse-diagonal blocked solves
+    (ops/trsm.py scheme): both triangular solves become n/nb static-
+    sliced steps of one correction gemm + one block gemm each.
+
+    Why (measured, config-5 artifact): XLA's whole-matrix solves keep
+    O(n) full-width temps alive, and sygst_blocked's fori_loop does
+    traced dynamic slices on sharded operands (which the SPMD
+    partitioner answers with replicated copies) plus an (m, m)
+    block-diagonal XLA solve per step -- together the largest per-device
+    memory stage at n=16384 (4.65 GB).  Static slices keep every gemm
+    partitionable and bound temps to a few nb-wide strips.
+
+    Forward error ~eps * kappa(U_block) per solve (explicit block
+    inverses): fp32-pipeline use only, where the fp64 refinement
+    absorbs it; the fp64 path keeps sygst_full/sygst_blocked.
+    """
+    from eigensolver_gpu_tpu.ops.trsm import upper_block_inverses
+
+    n = a.shape[0]
+    with trace_range("sygst_inv"):
+        inv = upper_block_inverses(u, nb)
+        # X = U^{-H} A: forward substitution over row blocks
+        x = jnp.zeros_like(a)
+        for k in range(n // nb):
+            k0, k1 = k * nb, k * nb + nb
+            rhs = a[k0:k1]
+            if k0 > 0:
+                rhs = rhs - jnp.conj(u[:k0, k0:k1].T) @ x[:k0]
+            x = x.at[k0:k1].set(jnp.conj(inv[k].T) @ rhs)
+        # C = X U^{-1}: column blocks left to right
+        c = jnp.zeros_like(a)
+        for k in range(n // nb):
+            k0, k1 = k * nb, k * nb + nb
+            rhs = x[:, k0:k1]
+            if k0 > 0:
+                rhs = rhs - c[:, :k0] @ u[:k0, k0:k1]
+            c = c.at[:, k0:k1].set(rhs @ inv[k])
+        return (c + jnp.conjugate(c.T)) / 2
+
+
 def sygst(a, u, mode="full", nb=512):
-    """Dispatch: 'full' (two whole-matrix trsm) or 'blocked' recurrence."""
+    """Dispatch: 'full' (two whole-matrix trsm), 'blocked' recurrence,
+    or 'inv' (inverse-diagonal blocked solves, fp32 pipelines)."""
     if mode == "full":
         return sygst_full(a, u)
+    if mode == "inv":
+        return sygst_inv(a, u, nb=nb)
     return sygst_blocked(a, u, nb=nb)

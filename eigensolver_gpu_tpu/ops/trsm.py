@@ -128,6 +128,58 @@ def trsm_left_upper_inv(u, b, nb=512):
     return x
 
 
+def upper_block_inverses(u, nb):
+    """Batched inverses of U's nb x nb diagonal blocks (upper)."""
+    n = u.shape[0]
+    diags = jnp.stack(
+        [u[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb] for k in range(n // nb)]
+    )
+    inv = _trinv_lower_batched(jnp.swapaxes(diags, 1, 2))
+    return jnp.swapaxes(inv, 1, 2)
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("nb",))
+def trsm_left_upper_trans_inv(u, b, nb=512):
+    """Solve U^H X = B (forward substitution over row blocks, static
+    slices; same scheme/caveats as trsm_left_upper_inv).  The lower-
+    triangular operand is U^H, so block row k's correction reads
+    U[:k0, k0:k1]^H against the already-solved X[:k0]."""
+    n = u.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"trsm requires n % nb == 0, got {n} % {nb}")
+    inv = upper_block_inverses(u, nb)
+    x = jnp.zeros_like(b)
+    for k in range(n // nb):
+        k0 = k * nb
+        k1 = k0 + nb
+        rhs = b[k0:k1]
+        if k0 > 0:
+            rhs = rhs - jnp.conj(u[:k0, k0:k1].T) @ x[:k0]
+        x = x.at[k0:k1].set(jnp.conj(inv[k].T) @ rhs)
+    return x
+
+
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("nb",))
+def trsm_right_upper_inv(u, b, nb=512):
+    """Solve X U = B (column blocks left to right, static slices; same
+    scheme/caveats as trsm_left_upper_inv)."""
+    n = u.shape[0]
+    if n % nb != 0:
+        raise ValueError(f"trsm requires n % nb == 0, got {n} % {nb}")
+    inv = upper_block_inverses(u, nb)
+    x = jnp.zeros_like(b)
+    for k in range(n // nb):
+        k0 = k * nb
+        k1 = k0 + nb
+        rhs = b[:, k0:k1]
+        if k0 > 0:
+            rhs = rhs - x[:, :k0] @ u[:k0, k0:k1]
+        x = x.at[:, k0:k1].set(rhs @ inv[k])
+    return x
+
+
 def trsm_phase4(u, y, nb=512):
     """Driver-facing phase-4 back-substitution x = U^{-1} y.
 

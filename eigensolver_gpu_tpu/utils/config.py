@@ -31,8 +31,11 @@ class SolverConfig:
       stedc_backend: 'dc' = on-device divide & conquer (replaces the
         reference's CPU zstedc escape hatch, dsyevd_gpu.F90:99);
         'xla' = jnp.linalg.eigh of the tridiagonal matrix (debug fallback).
-      sygst_mode: 'blocked' = reference-style blocked recurrence;
-        'full' = whole-matrix two-sided triangular solve (v0 path).
+      sygst_mode: 'full' = whole-matrix two-sided triangular solve
+        (auto-swapped per dtype/size: fp32 pipelines take 'inv', fp64 at
+        n >= 8192 takes 'blocked'); 'blocked' = reference-style blocked
+        recurrence; 'inv' = inverse-diagonal blocked solves
+        (ops/sygst.sygst_inv, fp32 pipelines only).
       compute_dtype: None = inputs' dtype end to end; 'float32' = run the
         tridiagonalization in fp32 and refine results in fp64
         (BASELINE.md config 5 fast path).
@@ -88,7 +91,7 @@ class SolverConfig:
     def __post_init__(self):
         if self.stedc_backend not in ("dc", "xla"):
             raise ValueError(f"unknown stedc_backend {self.stedc_backend!r}")
-        if self.sygst_mode not in ("blocked", "full"):
+        if self.sygst_mode not in ("blocked", "full", "inv"):
             raise ValueError(f"unknown sygst_mode {self.sygst_mode!r}")
         if self.tridiag_mode not in ("one", "two", "auto"):
             raise ValueError(f"unknown tridiag_mode {self.tridiag_mode!r}")

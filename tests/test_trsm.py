@@ -8,7 +8,13 @@ import scipy.linalg
 
 import jax.numpy as jnp
 
-from eigensolver_gpu_tpu.ops.trsm import trsm_left_upper_inv, trsm_phase4
+from eigensolver_gpu_tpu.ops.sygst import sygst_inv
+from eigensolver_gpu_tpu.ops.trsm import (
+    trsm_left_upper_inv,
+    trsm_left_upper_trans_inv,
+    trsm_phase4,
+    trsm_right_upper_inv,
+)
 from eigensolver_gpu_tpu.utils.testing import random_spd_pair
 
 
@@ -52,6 +58,33 @@ def test_trsm_upper_inv_ill_conditioned_blocks():
     x_ref = scipy.linalg.solve_triangular(u, b, lower=False)
     denom = np.maximum(np.abs(x_ref), 1.0)
     assert np.max(np.abs(x - x_ref) / denom) < 1e-8
+
+
+@pytest.mark.parametrize("n,nb", [(128, 32), (256, 64)])
+def test_trsm_trans_and_right_variants(n, nb):
+    """U^H X = B (forward) and X U = B (right) against scipy."""
+    u = _upper_factor(n, seed=11)
+    rng = np.random.default_rng(12)
+    b = rng.standard_normal((n, 24))
+    x = np.asarray(trsm_left_upper_trans_inv(jnp.asarray(u), jnp.asarray(b), nb=nb))
+    x_ref = scipy.linalg.solve_triangular(u, b, lower=False, trans="T")
+    assert np.allclose(x, x_ref, atol=1e-10 * n)
+    br = rng.standard_normal((24, n))
+    x = np.asarray(trsm_right_upper_inv(jnp.asarray(u), jnp.asarray(br), nb=nb))
+    x_ref = scipy.linalg.solve_triangular(u.T, br.T, lower=True).T
+    assert np.allclose(x, x_ref, atol=1e-10 * n)
+
+
+@pytest.mark.parametrize("n,nb", [(128, 32), (256, 128)])
+def test_sygst_inv_matches_oracle(n, nb):
+    """C = U^{-H} A U^{-1} via the inverse-diagonal solves vs scipy."""
+    a, b = random_spd_pair(n, seed=13)
+    u = scipy.linalg.cholesky(b, lower=False)
+    c = np.asarray(sygst_inv(jnp.asarray(a), jnp.asarray(u), nb=nb))
+    x = scipy.linalg.solve_triangular(u, a, trans="T", lower=False)
+    c_ref = scipy.linalg.solve_triangular(u, x.T, trans="T", lower=False).T
+    assert np.allclose(c, (c_ref + c_ref.T) / 2, atol=1e-10 * n)
+    assert np.allclose(c, c.T)
 
 
 def test_trsm_phase4_gating():
