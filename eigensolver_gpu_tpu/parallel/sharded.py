@@ -85,14 +85,13 @@ def _sharded_step(a, b, mesh, il, iu, cfg):
     # reduction to standard form with sharded operands; XLA partitions
     # the solves/gemms and inserts ICI collectives. The blocked
     # recurrence is used at scale for the same reason as single-chip
-    # (XLA's whole-matrix solve keeps O(n) full-width temps alive);
-    # fp32 pipelines take the static-sliced inverse-diagonal solves
-    # (ops/sygst.sygst_inv) whose gemms partition with no replication.
-    if a.dtype in (jnp.float32, jnp.complex64) and n % 512 == 0 and n >= 1024:
-        from eigensolver_gpu_tpu.ops.sygst import sygst_inv
-
-        c = sygst_inv(a, u, nb=512)
-    elif n >= 8192 or cfg.sygst_mode == "blocked":
+    # (XLA's whole-matrix solve keeps O(n) full-width temps alive).
+    # NOTE: sygst_inv was tried here and REGRESSED the n=16384 memory
+    # plan 8.2 -> 12.3 GB/device (two unrolled full-width update chains
+    # on the sharded (n, n) buffer hold too many live versions, and the
+    # per-step U slabs quadruple the collective-permutes) -- the
+    # bucketed fori_loop recurrence stays for sharded runs.
+    if n >= 8192 or cfg.sygst_mode == "blocked":
         from eigensolver_gpu_tpu.ops.sygst import sygst_blocked
 
         c = sygst_blocked(a, u, nb=cfg.nb_sygst)
