@@ -69,7 +69,9 @@ def _shear(x, w, lanes, left):
     return x
 
 
-def _chase_kernel(n, b, s_slots, stride, tb, t_total, pad_f, lanes, *refs):
+def _chase_kernel(
+    n, b, s_slots, stride, tb, t_total, pad_f, lanes, ablate, t0, *refs
+):
     band_in, band_out, vt_ref, tau_ref = refs
     g = pl.program_id(0)
     w = 2 * b
@@ -89,10 +91,18 @@ def _chase_kernel(n, b, s_slots, stride, tb, t_total, pad_f, lanes, *refs):
     i32 = jnp.int32
 
     def step(i, carry):
-        t = g.astype(i32) * i32(tb) + i
+        t = i32(t0) + g.astype(i32) * i32(tb) + i
         vmax = t // i32(3)
         k0 = t - i32(3) * vmax
         start = vmax + i32(1) + k0 * i32(b) - i32(b) + i32(pad_f)
+        if ablate == "aligned":
+            # WRONG RESULTS: 8-sublane-aligned slice, to time the cost
+            # of the misaligned dynamic read/write (benchmarks/chase_micro)
+            start = (start // i32(8)) * i32(8)
+        if ablate == "static":
+            # WRONG RESULTS: constant slice offset, to time dynamic-
+            # offset slicing vs static (benchmarks/chase_micro)
+            start = pad_f
 
         blk = band_out[pl.ds(start, s_slots * stride), :]
         blk3 = blk.reshape(s_slots, stride, w)
@@ -100,7 +110,26 @@ def _chase_kernel(n, b, s_slots, stride, tb, t_total, pad_f, lanes, *refs):
 
         # shear to window rows: wt[s, q, p] = A[j0+p, j0+q], p = q + d
         pad = jnp.zeros((s_slots, w, lanes - w), jnp.float32)
-        wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes, False)
+        if ablate == "noshear":
+            # WRONG RESULTS: skip both shears, time everything else
+            wt = jnp.concatenate([strip, pad], axis=2)
+        else:
+            wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes, False)
+
+        if ablate == "nomath":
+            # WRONG RESULTS: skip the reflector math, time shear+traffic
+            vt_ref[pl.ds(i, 1), :, :] = wt[:, 0:1, :b].reshape(1, s_slots, b)
+            tau_ref[pl.ds(i, 1), :] = wt[:, 0:1, 0:1].reshape(1, s_slots)
+            strip_new = (
+                wt[:, :, :w]
+                if ablate == "noshear"
+                else _shear(wt, w, lanes, True)[:, :, :w]
+            )
+            blk_new = jnp.concatenate([strip_new, blk3[:, w:, :]], axis=1)
+            band_out[pl.ds(start, s_slots * stride), :] = blk_new.reshape(
+                s_slots * stride, w
+            )
+            return carry
 
         # per-slot schedule
         v_s = vmax - svec                       # (S, 1)
@@ -166,11 +195,18 @@ def _chase_kernel(n, b, s_slots, stride, tb, t_total, pad_f, lanes, *refs):
             axis=1,
         )
 
-        strip_new = _shear(wt, w, lanes, True)[:, :, :w]
-        blk_new = jnp.concatenate([strip_new, blk3[:, w:, :]], axis=1)
-        band_out[pl.ds(start, s_slots * stride), :] = blk_new.reshape(
-            s_slots * stride, w
-        )
+        if ablate == "noshear":
+            strip_new = wt[:, :, :w]
+        else:
+            strip_new = _shear(wt, w, lanes, True)[:, :, :w]
+        if ablate == "nowrite":
+            # WRONG RESULTS: skip the band write-back, time the read side
+            pass
+        else:
+            blk_new = jnp.concatenate([strip_new, blk3[:, w:, :]], axis=1)
+            band_out[pl.ds(start, s_slots * stride), :] = blk_new.reshape(
+                s_slots * stride, w
+            )
         vt_ref[pl.ds(i, 1), :, :] = v[None]
         tau_ref[pl.ds(i, 1), :] = tau[:, 0][None]
         return carry
@@ -178,14 +214,19 @@ def _chase_kernel(n, b, s_slots, stride, tb, t_total, pad_f, lanes, *refs):
     lax.fori_loop(i32(0), i32(tb), step, i32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("b", "tb", "interpret"))
-def bulge_chase_pallas(band, b, tb=96, interpret=False):
+@functools.partial(jax.jit, static_argnames=("b", "tb", "interpret", "ablate"))
+def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
     """Pallas counterpart of ops/sb2st.bulge_chase (fp32).
 
     band: (n, 2b) lower band storage (see sb2st.dense_to_band).
     Returns (d, e, vt, taut) with the same timestep/slot layout as the
     XLA chase; vt's leading dim rounds up to a multiple of ``tb`` (the
     extra timesteps carry tau=0 and replay as no-ops).
+
+    ``ablate`` (None | 'noshear' | 'aligned' | 'nowrite' | 'nomath')
+    disables pieces of the per-step work FOR COST ATTRIBUTION ONLY
+    (benchmarks/chase_micro.py); every non-None mode returns wrong
+    results by design.
     """
     n = band.shape[0]
     w = 2 * b
@@ -211,40 +252,75 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False):
     band_p = jnp.zeros((npad, w), jnp.float32)
     band_p = lax.dynamic_update_slice(band_p, band, (pad_f, 0))
 
-    kernel = functools.partial(
-        _chase_kernel, n, b, s_slots, stride, tb, t_total, pad_f, lanes
-    )
+    # Phase plan: the wavefront's active-slot count ramps up with slope 1
+    # (s <= vmax) and decays with slope 1/stride (r0 <= n-2), so most
+    # timesteps need far fewer than s_slots slots; the per-step cost is
+    # dominated by the band read/write round trip, which scales with the
+    # static slot count (measured ~73% of step time at n=4096,
+    # benchmarks/chase_micro.py). Splitting the t range into chunks with
+    # a static per-chunk slot count roughly halves that term over the
+    # run; the in-kernel ``active`` mask keeps correctness, phases only
+    # shrink the slot dim where slots are provably inactive.
+    n_phases = min(10, grid) if ablate is None else 1
+    blocks_per = -(-grid // n_phases)
+    phases = []
+    for p0 in range(0, grid, blocks_per):
+        nblk = min(blocks_per, grid - p0)
+        vmax_lo = (p0 * tb) // 3
+        vmax_hi = (min((p0 + nblk) * tb, t_total) - 1) // 3
+        s_ramp = vmax_hi + 1  # slot s needs v_s = vmax - s >= 0
+        # r0_s = vmax + 1 + k0*b + s*stride <= n-2; loosest at k0=0
+        s_tail = (n - 3 - vmax_lo) // stride + 1 if n > 3 else 1
+        phases.append((p0, nblk, max(1, min(s_slots, s_ramp, s_tail))))
+
     const2 = lambda g: (jnp.int32(0), jnp.int32(0))
-    band_out, vt, taut = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((npad, w), index_map=const2, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((npad, w), index_map=const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tb, s_slots, b),
-                index_map=lambda g: (g, jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
+    vts, taus = [], []
+    for p0, nblk, s_p in phases:
+        kernel = functools.partial(
+            _chase_kernel, n, b, s_p, stride, tb, t_total, pad_f, lanes,
+            ablate, p0 * tb,
+        )
+        band_p, vt_p, tau_p = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec(
+                    (npad, w), index_map=const2, memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (npad, w), index_map=const2, memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tb, s_p, b),
+                    index_map=lambda g: (g, jnp.int32(0), jnp.int32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tb, s_p),
+                    index_map=lambda g: (g, jnp.int32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((npad, w), jnp.float32),
+                jax.ShapeDtypeStruct((nblk * tb, s_p, b), jnp.float32),
+                jax.ShapeDtypeStruct((nblk * tb, s_p), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
             ),
-            pl.BlockSpec(
-                (tb, s_slots),
-                index_map=lambda g: (g, jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((npad, w), jnp.float32),
-            jax.ShapeDtypeStruct((t3, s_slots, b), jnp.float32),
-            jax.ShapeDtypeStruct((t3, s_slots), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(band_p)
-    out = lax.dynamic_slice(band_out, (pad_f, 0), (n, w))
+            interpret=interpret,
+        )(band_p)
+        if s_p < s_slots:
+            vt_p = jnp.pad(vt_p, ((0, 0), (0, s_slots - s_p), (0, 0)))
+            tau_p = jnp.pad(tau_p, ((0, 0), (0, s_slots - s_p)))
+        vts.append(vt_p)
+        taus.append(tau_p)
+    vt = jnp.concatenate(vts) if len(vts) > 1 else vts[0]
+    taut = jnp.concatenate(taus) if len(taus) > 1 else taus[0]
+    out = lax.dynamic_slice(band_p, (pad_f, 0), (n, w))
     d = out[:, 0]
     e = out[: n - 1, 1] if n > 1 else out[:0, 1]
     return d, e, vt, taut
