@@ -108,7 +108,10 @@ def main():
             d, e, vt, taut = bulge_chase_pallas(band, b)
             return jnp.sum(d) + jnp.sum(e), vt, taut
 
-        timeit("bulge_chase PALLAS", lambda bd: f_chase_pl(bd)[0], band)
+        t_chase_pl = timeit(
+            "bulge_chase PALLAS", lambda bd: f_chase_pl(bd)[0], band
+        )
+        t_chase = min(t_chase, t_chase_pl)
     _, vt, taut = f_chase(band)
     t_q2 = timeit(f"apply_q2 (m={m})", lambda *x: f_q2(*x)[0], vt, taut, y)
     if dt == jnp.float32:

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 from eigensolver_gpu_tpu.utils.timer import wallclock  # noqa: E402
 
 
-def _kernel(rows, tb, *refs):
+def _kernel(rows, tb, stride, *refs):
     x_in, x_out = refs
     g = pl.program_id(0)
 
@@ -51,19 +51,32 @@ def _kernel(rows, tb, *refs):
         # dynamic start that wanders like the chase's (+1 every 3 steps)
         start = (g * tb + i) // jnp.int32(3)
         blk = x_out[pl.ds(start, rows), :]
-        x_out[pl.ds(start, rows), :] = blk + jnp.float32(1.0)
+        if stride:
+            # the chase's per-slot split: reshape to (slots, stride, w),
+            # take the leading-64-row strip, stitch back (relayout cost
+            # when stride % 8 != 0)
+            s = rows // stride
+            w = blk.shape[1]
+            blk3 = blk.reshape(s, stride, w)
+            strip = blk3[:, :64, :] + jnp.float32(1.0)
+            blk = jnp.concatenate([strip, blk3[:, 64:, :]], axis=1).reshape(
+                rows, w
+            )
+        else:
+            blk = blk + jnp.float32(1.0)
+        x_out[pl.ds(start, rows), :] = blk
         return carry
 
     lax.fori_loop(jnp.int32(0), jnp.int32(tb), step, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "steps", "tb"))
-def roundtrip(x, rows, steps, tb=96):
+@functools.partial(jax.jit, static_argnames=("rows", "steps", "tb", "stride"))
+def roundtrip(x, rows, steps, tb=96, stride=0):
     npad = x.shape[0]
     grid = -(-steps // tb)
     const2 = lambda g: (jnp.int32(0), jnp.int32(0))
     out = pl.pallas_call(
-        functools.partial(_kernel, rows, tb),
+        functools.partial(_kernel, rows, tb, stride),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
@@ -86,17 +99,24 @@ def roundtrip(x, rows, steps, tb=96):
 def main():
     steps = 12288
     rng = np.random.default_rng(0)
-    # constant bytes per step (~1 MB slice of a ~1.1x buffer), varying rows
-    for rows, lanes in [(8168, 64), (4084, 128), (2042, 256), (1021, 512)]:
+    # bare round trip at varying row counts (constant ~1 MB bytes), then
+    # the chase's per-slot reshape at stride 95 (misaligned re-tiling)
+    # vs 96 (aligned)
+    cases = [
+        (8168, 64, 0),
+        (4084, 128, 0),
+        (43 * 95, 64, 95),
+        (43 * 96, 64, 96),
+        (43 * 96, 64, 0),
+    ]
+    for rows, lanes, stride in cases:
         npad = rows + steps // 3 + 8
         x = jnp.asarray(rng.standard_normal((npad, lanes)), jnp.float32)
-        f = lambda x: roundtrip(x, rows, steps)
+        f = lambda x: roundtrip(x, rows, steps, stride=stride)
+        tag = f"rows={rows} lanes={lanes} stride={stride}"
         t0 = wallclock()
         np.asarray(f(x))
-        print(
-            f"rows={rows} lanes={lanes}: first {wallclock()-t0:.1f}s",
-            file=sys.stderr, flush=True,
-        )
+        print(f"{tag}: first {wallclock()-t0:.1f}s", file=sys.stderr, flush=True)
         times = []
         for _ in range(3):
             t0 = wallclock()
@@ -105,8 +125,7 @@ def main():
         ms = min(times) * 1e3
         mb = rows * lanes * 4 * 2 / 1e6
         print(
-            f"rows={rows} lanes={lanes}: {ms:.1f} ms = "
-            f"{ms*1e3/steps:.2f} us/step, {mb/(ms/steps):.0f} MB/s... "
+            f"{tag}: {ms:.1f} ms = {ms*1e3/steps:.2f} us/step, "
             f"{mb*steps/ms:.0f} GB/s effective",
             file=sys.stderr, flush=True,
         )

@@ -68,20 +68,25 @@ def _use_two_stage(n, cfg, iscomplex, compute_is_f64):
     the one-stage Householder loop. Complex inputs use the one-stage path
     (the planar complex pipeline has its own fused panel kernel).
 
-    Measured on the target chip (benchmarks/two_stage.py): in fp32 the
-    one-stage compiled loop wins at every size (n=4096: 184 ms vs
-    1.5 s -- the bulge chase's ~3n sequential steps pay ~100 us of
-    per-step op overhead each). In emulated fp64 the one-stage loop is
-    ALU-bound (n=2048: 1 970 ms) and roughly doubles per doubling of n,
-    while the two-stage total grows slower (n=2048: 3 115 ms, dominated
-    by the chase whose step cost is size-independent) -- the crossover
-    is near n=4096, so 'auto' switches only for fp64 compute there.
+    Measured on the target chip (benchmarks/two_stage.py): in emulated
+    fp64 the one-stage loop is ALU-bound (n=2048: 1 970 ms) and roughly
+    doubles per doubling of n, while the two-stage total grows slower
+    (n=2048: 3 115 ms, dominated by the chase whose step cost is
+    size-independent) -- the crossover is near n=4096, so 'auto'
+    switches for fp64 compute there. In fp32 the phased Mosaic chase
+    (late round 3) flipped the large-n crossover: n=8192 two-stage
+    334+563+250+52 = ~1 200 ms vs one-stage 1 453; n=4096 still favors
+    one-stage (386 vs 183, fixed costs dominate). The fp32 switch is
+    TPU-only: every other backend runs the XLA fori_loop chase, which
+    loses by 3x+ at every size.
     """
     if iscomplex or cfg.tridiag_mode == "one":
         return False
     if cfg.tridiag_mode == "two":
         return True
-    return compute_is_f64 and n >= cfg.two_stage_min_n
+    if compute_is_f64:
+        return n >= cfg.two_stage_min_n
+    return n >= 8192 and jax.default_backend() == "tpu"
 
 
 def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):

@@ -161,7 +161,7 @@ def sbrd(a, band=32, bucket=512):
 
 
 @highest_precision
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("group",))
 def apply_q1(vs, ts, y, group=4):
     """y <- Q1 y where a = Q1 ab Q1^T from sbrd: panels applied in
     reverse processing order, y -= V S (V^T y) each (S = T^T).
@@ -172,7 +172,7 @@ def apply_q1(vs, ts, y, group=4):
     Sc = [[S1, -S1 (V1^T V2) S2], [0, S2]] -- the per-panel b=32 gemms
     fill only a quarter of the MXU's 128 systolic rows; group=4 makes
     every replay gemm a full tile and quarters the sequential loop
-    (measured 331 -> see RESULTS at n=8192). Aggregation itself is
+    (measured 331 -> 52 ms at n=8192, m=2048). Aggregation itself is
     O(n^2 b) -- noise next to the O(n^2 m) replay."""
     npanels, n, b = vs.shape
 
