@@ -69,6 +69,29 @@ def _shear(x, w, lanes, left):
     return x
 
 
+def _subroll(x, n_sl, chunk, up):
+    """Per-slot sublane roll on (n_sl, chunk, w): slot sl's strip sits
+    at chunk rows [off, off+2b) with off(sl) = n_sl-1-sl (the -1/slot
+    drift of the aligned chunk view); up=True brings it to [0, 2b),
+    up=False undoes it. Circular within the chunk, so the round trip is
+    the identity on every row. Mask key = slot index (dim 0), invariant
+    under the axis-1 rolls -- the shear trick, one axis over."""
+    if n_sl == 1:
+        return x
+    slv = lax.broadcasted_iota(jnp.int32, (n_sl, 1, 1), 0)
+    off = n_sl - 1 - slv
+    shift = 1
+    while shift < n_sl:
+        shift *= 2
+    shift //= 2
+    while shift >= 1:
+        sh = chunk - shift if up else shift
+        rolled = pltpu.roll(x, shift=jnp.int32(sh), axis=1)
+        x = jnp.where((off & shift) != 0, rolled, x)
+        shift //= 2
+    return x
+
+
 def _chase_kernel(
     n, b, s_slots, stride, tb, t_total, pad_f, lanes, ablate, t0, *refs
 ):
@@ -76,12 +99,19 @@ def _chase_kernel(
     g = pl.program_id(0)
     w = 2 * b
     f1 = jnp.float32(1.0)
+    # Aligned grouped band access: the (s_slots*stride, w) -> (S, stride,
+    # w) per-slot reshape is a re-tiling relayout when stride % 8 != 0
+    # and was measured to DOMINATE the step (15.0 us vs 2.5 us at an
+    # aligned stride -- benchmarks/vmem_roundtrip_micro.py). Slots are
+    # therefore processed in groups of <= b whose chunk view uses height
+    # stride+1 = 3b (tile-aligned when b % 8 == 0); the per-slot -1-row
+    # drift of that view is absorbed by masked sublane rolls (_subroll).
+    grouped = (3 * b) % 8 == 0 and ablate is None
 
     @pl.when(g == 0)
     def _():
         band_out[:, :] = band_in[:, :]
 
-    svec = lax.broadcasted_iota(jnp.int32, (s_slots, 1), 0)  # slot ids
     lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
     sub_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
     tril_mask = (lane_b >= sub_b).astype(jnp.float32)  # (1, b, b) p >= q
@@ -89,6 +119,75 @@ def _chase_kernel(
     # all scalar index math in int32: under x64, python-int promotion
     # produces int64 scalars whose conversion Mosaic cannot lower
     i32 = jnp.int32
+
+    def window_update(wt, n_sl, s0, vmax, k0):
+        """One chase step's reflectors on the sheared windows of slots
+        [s0, s0+n_sl); returns (wt_new, v, tau)."""
+        svec = i32(s0) + lax.broadcasted_iota(jnp.int32, (n_sl, 1), 0)
+
+        # per-slot schedule
+        v_s = vmax - svec                       # (S, 1)
+        k_s = k0 + i32(3) * svec
+        r0_s = v_s + i32(1) + k_s * i32(b)
+        active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
+
+        # reflector source: window col b-1 (sweep start) or col 0
+        x0 = wt[:, b - 1, b:w]                  # (S, b)
+        x1 = wt[:, 0, b:w]
+        x = jnp.where((k_s == i32(0)) & (k0 == i32(0)), x0, x1)
+
+        # batched branch-free larfg (LAPACK dlarfg conventions)
+        alpha = x[:, 0:1]
+        xtail = x * (lane_b[0] > 0).astype(jnp.float32)
+        xnormsq = jnp.sum(xtail * xtail, axis=1, keepdims=True)
+        norm = jnp.sqrt(alpha * alpha + xnormsq)
+        beta = jnp.where(alpha >= 0, -norm, norm)
+        trivial = xnormsq == 0
+        safe_beta = jnp.where(trivial, f1, beta)
+        tau = jnp.where(trivial, 0.0, (beta - alpha) / safe_beta)
+        tau = jnp.where(active, tau, 0.0)       # (S, 1)
+        denom = jnp.where(trivial, f1, alpha - beta)
+        v = xtail / denom
+        lane0 = (lane_b[0] == 0).astype(jnp.float32)
+        v = v * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
+
+        v_l = v[:, None, :]                     # (S, 1, b) lanes
+        v_sub = v_l.reshape(n_sl, b, 1)         # (S, b, 1) sublanes
+        tau3 = tau[:, :, None]                  # (S, 1, 1)
+
+        # A10 (rows I, cols [0,b)) stored transposed at wt[:, :b, b:2b]
+        a10t = wt[:, 0:b, b:w]
+        u1 = jnp.sum(a10t * v_l, axis=2, keepdims=True)       # (S, b, 1)
+        a10t = a10t - tau3 * u1 * v_l
+
+        # A11 (rows/cols I), lower part at wt[:, b:2b, b:2b]
+        l11 = wt[:, b:w, b:w] * tril_mask       # [q, p], valid p >= q
+        t1 = jnp.sum(l11 * v_sub, axis=1, keepdims=True)      # (S, 1, b)
+        # strict-upper mirror: (A11 v)[q] += sum_{p>q} W[q, p] v[p]
+        strict_gt = (lane_b > sub_b).astype(jnp.float32)      # (1, b, b)
+        t2 = jnp.sum(wt[:, b:w, b:w] * strict_gt * v_l,
+                     axis=2, keepdims=True)                   # (S, b, 1)
+        y = t1 + t2.reshape(n_sl, 1, b)                       # A11 v, lanes
+        vav = jnp.sum(y * v_l, axis=2, keepdims=True)         # (S, 1, 1)
+        wvec = tau3 * y - 0.5 * tau3 * tau3 * vav * v_l       # (S, 1, b)
+        w_sub = wvec.reshape(n_sl, b, 1)
+        upd = v_sub * wvec + w_sub * v_l                      # (S, b, b)
+        l11_new = wt[:, b:w, b:w] - upd * tril_mask
+
+        # A21 (rows [2b,3b), cols I) stored transposed at wt[:, b:2b, 2b:3b]
+        a21t = wt[:, b:w, 2 * b : 3 * b]
+        y2 = jnp.sum(a21t * v_sub, axis=1, keepdims=True)     # (S, 1, b)
+        a21t = a21t - tau3 * v_sub * y2
+
+        wt = jnp.concatenate(
+            [
+                jnp.concatenate([wt[:, 0:b, 0:b], a10t, wt[:, 0:b, 2 * b :]], axis=2),
+                jnp.concatenate([wt[:, b:w, 0:b], l11_new, a21t,
+                                 wt[:, b:w, 3 * b :]], axis=2),
+            ],
+            axis=1,
+        )
+        return wt, v, tau
 
     def step(i, carry):
         t = i32(t0) + g.astype(i32) * i32(tb) + i
@@ -103,6 +202,34 @@ def _chase_kernel(
             # WRONG RESULTS: constant slice offset, to time dynamic-
             # offset slicing vs static (benchmarks/chase_micro)
             start = pad_f
+
+        if grouped:
+            chunk = stride + 1  # = 3b, tile-aligned
+            for s0 in range(0, s_slots, b):
+                n_sl = min(b, s_slots - s0)
+                base = start + i32(stride * s0) - i32(n_sl - 1)
+                flat = band_out[pl.ds(base, n_sl * chunk), :]
+                ch = flat.reshape(n_sl, chunk, w)
+                ch = _subroll(ch, n_sl, chunk, up=True)
+                strip = ch[:, :w, :]
+                pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
+                wt = _shear(
+                    jnp.concatenate([strip, pad], axis=2), w, lanes, False
+                )
+                wt, v, tau = window_update(wt, n_sl, s0, vmax, k0)
+                strip_new = _shear(wt, w, lanes, True)[:, :, :w]
+                ch = jnp.concatenate([strip_new, ch[:, w:, :]], axis=1)
+                ch = _subroll(ch, n_sl, chunk, up=False)
+                # trimmed write: [base, base + stride*n_sl) regions tile
+                # the band exactly across groups (last strip ends at
+                # chunk*(n_sl-1)+2b <= stride*n_sl whenever n_sl <= b),
+                # so no group clobbers a neighbor's freshly written strip
+                band_out[pl.ds(base, stride * n_sl), :] = ch.reshape(
+                    n_sl * chunk, w
+                )[: stride * n_sl]
+                vt_ref[pl.ds(i, 1), s0 : s0 + n_sl, :] = v[None]
+                tau_ref[pl.ds(i, 1), s0 : s0 + n_sl] = tau[:, 0][None]
+            return carry
 
         blk = band_out[pl.ds(start, s_slots * stride), :]
         blk3 = blk.reshape(s_slots, stride, w)
@@ -131,69 +258,7 @@ def _chase_kernel(
             )
             return carry
 
-        # per-slot schedule
-        v_s = vmax - svec                       # (S, 1)
-        k_s = k0 + i32(3) * svec
-        r0_s = v_s + i32(1) + k_s * i32(b)
-        active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
-
-        # reflector source: window col b-1 (sweep start) or col 0
-        x0 = wt[:, b - 1, b:w]                  # (S, b)
-        x1 = wt[:, 0, b:w]
-        x = jnp.where((k_s == i32(0)) & (k0 == i32(0)), x0, x1)
-
-        # batched branch-free larfg (LAPACK dlarfg conventions)
-        alpha = x[:, 0:1]
-        xtail = x * (lane_b[0] > 0).astype(jnp.float32)
-        xnormsq = jnp.sum(xtail * xtail, axis=1, keepdims=True)
-        norm = jnp.sqrt(alpha * alpha + xnormsq)
-        beta = jnp.where(alpha >= 0, -norm, norm)
-        trivial = xnormsq == 0
-        safe_beta = jnp.where(trivial, f1, beta)
-        tau = jnp.where(trivial, 0.0, (beta - alpha) / safe_beta)
-        tau = jnp.where(active, tau, 0.0)       # (S, 1)
-        denom = jnp.where(trivial, f1, alpha - beta)
-        v = xtail / denom
-        lane0 = (lane_b[0] == 0).astype(jnp.float32)
-        v = v * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
-        beta = jnp.where(trivial, alpha, beta)
-
-        v_l = v[:, None, :]                     # (S, 1, b) lanes
-        v_sub = v_l.reshape(s_slots, b, 1)      # (S, b, 1) sublanes
-        tau3 = tau[:, :, None]                  # (S, 1, 1)
-
-        # A10 (rows I, cols [0,b)) stored transposed at wt[:, :b, b:2b]
-        a10t = wt[:, 0:b, b:w]
-        u1 = jnp.sum(a10t * v_l, axis=2, keepdims=True)       # (S, b, 1)
-        a10t = a10t - tau3 * u1 * v_l
-
-        # A11 (rows/cols I), lower part at wt[:, b:2b, b:2b]
-        l11 = wt[:, b:w, b:w] * tril_mask       # [q, p], valid p >= q
-        t1 = jnp.sum(l11 * v_sub, axis=1, keepdims=True)      # (S, 1, b)
-        # strict-upper mirror: (A11 v)[q] += sum_{p>q} W[q, p] v[p]
-        strict_gt = (lane_b > sub_b).astype(jnp.float32)      # (1, b, b)
-        t2 = jnp.sum(wt[:, b:w, b:w] * strict_gt * v_l,
-                     axis=2, keepdims=True)                   # (S, b, 1)
-        y = t1 + t2.reshape(s_slots, 1, b)                    # A11 v, lanes
-        vav = jnp.sum(y * v_l, axis=2, keepdims=True)         # (S, 1, 1)
-        wvec = tau3 * y - 0.5 * tau3 * tau3 * vav * v_l       # (S, 1, b)
-        w_sub = wvec.reshape(s_slots, b, 1)
-        upd = v_sub * wvec + w_sub * v_l                      # (S, b, b)
-        l11_new = wt[:, b:w, b:w] - upd * tril_mask
-
-        # A21 (rows [2b,3b), cols I) stored transposed at wt[:, b:2b, 2b:3b]
-        a21t = wt[:, b:w, 2 * b : 3 * b]
-        y2 = jnp.sum(a21t * v_sub, axis=1, keepdims=True)     # (S, 1, b)
-        a21t = a21t - tau3 * v_sub * y2
-
-        wt = jnp.concatenate(
-            [
-                jnp.concatenate([wt[:, 0:b, 0:b], a10t, wt[:, 0:b, 2 * b :]], axis=2),
-                jnp.concatenate([wt[:, b:w, 0:b], l11_new, a21t,
-                                 wt[:, b:w, 3 * b :]], axis=2),
-            ],
-            axis=1,
-        )
+        wt, v, tau = window_update(wt, s_slots, 0, vmax, k0)
 
         if ablate == "noshear":
             strip_new = wt[:, :, :w]

@@ -21,7 +21,7 @@ def _rand_band(rng, n, b):
     return a * mask
 
 
-@pytest.mark.parametrize("n,b", [(24, 4), (40, 8)])
+@pytest.mark.parametrize("n,b", [(24, 4), (40, 8), (96, 16)])
 def test_chase_pallas_matches_xla(n, b):
     rng = np.random.default_rng(0)
     a = _rand_band(rng, n, b)
@@ -42,6 +42,28 @@ def test_chase_pallas_matches_xla(n, b):
         np.asarray(tau1)[:t0], np.asarray(tau0), rtol=5e-3, atol=5e-3
     )
     np.testing.assert_allclose(np.asarray(tau1)[t0:], 0.0)
+
+
+def test_chase_pallas_multigroup_spectrum():
+    """The aligned grouped band access (groups of <= b slots, trimmed
+    tiled writes) must preserve the spectrum across group boundaries:
+    n=784, b=16 gives S=17 slots = 2 groups, the second of size 1."""
+    n, b = 784, 16
+    rng = np.random.default_rng(3)
+    a = _rand_band(rng, n, b)
+    band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    d, e, _, _ = bulge_chase_pallas(band, b, tb=96, interpret=True)
+    import scipy.linalg
+
+    w_ref = np.sort(scipy.linalg.eigvalsh(a))
+    tri = (
+        np.diag(np.asarray(d))
+        + np.diag(np.asarray(e), 1)
+        + np.diag(np.asarray(e), -1)
+    )
+    w = np.sort(scipy.linalg.eigvalsh(tri))
+    scale = max(1.0, np.abs(w_ref).max())
+    assert np.abs(w - w_ref).max() / scale < 5e-5
 
 
 def test_chase_pallas_spectrum_and_replay():
