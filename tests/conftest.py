@@ -22,3 +22,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The suite's wall time is dominated by CPU XLA compiles of the
+# end-to-end mixed-precision driver traces (30-95 s EACH; pytest
+# --durations, late round 3). Persist them: cache keys are HLO hashes,
+# so edited code still recompiles -- only genuinely unchanged traces
+# hit. Cuts repeat full-suite runs from ~40 min toward minutes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
