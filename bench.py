@@ -52,27 +52,43 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def flops_model(n, m, complex_input, mixed):
-    """Real-flop count of the generalized solve (BASELINE.json names
-    GFLOP/s as the north-star metric; the reference computes none --
-    this is the standard LAPACK operation-count model).
+def flops_model(n, m, complex_input, mixed, il=1, margin=32, sweeps=3):
+    """Real-flop count of the generalized solve, counting the work the
+    implementation ACTUALLY executes (BASELINE.json names GFLOP/s as the
+    north-star metric; the reference computes none -- this is the
+    standard LAPACK operation-count model per stage).
 
     Stages (real-flop multiplier x4 for complex arithmetic):
       potrf n^3/3, sygst n^3, sytrd 4n^3/3, stedc assembly ~4n^3/3
       (one n x n gemm per merge level, geometric sum ~2 n^3 MACs),
       unmtr 4 n^2 m, trsm n^2 m.
-    The mixed path runs those in fp32 on the full spectrum (m = n for
-    the back-transform) + refinement sweeps (5 gemms of n^2 m each,
-    Karatsuba x3 for planar complex).
+    The mixed path runs those in fp32 on the FULL spectrum (the inner
+    solve uses il=1, iu=n, so its back-transform/trsm see m = n), then
+    refines ONLY the selected block + cluster margin: per sweep 5 gemms
+    of n^2 * ms real-MACs each, ms = min(n, iu+margin) - max(0, il-1-
+    margin) (models/sygvdx.py selected-range economy).  Planar complex
+    refinement gemms execute 3 real gemms per product (Karatsuba), not
+    the nominal complex 4.  Auto-escalated extra sweeps (rare; the
+    headline does not escalate) are not counted.
+
+    Returns (total_flops, breakdown dict) -- fp32-pipeline and fp64-sweep
+    flops separated so the log can report both honestly.
     """
     c = 4.0 if complex_input else 1.0
-    factor = n**3 * (1.0 / 3 + 1.0 + 4.0 / 3 + 4.0 / 3)
-    back = 4.0 * n * n * n + n * n * m  # full-spectrum unmtr + trsm
-    total = c * 2.0 * (factor + back)  # MAC -> flop
-    if mixed:
-        gemms = 5.0 * n * n * n * (3.0 if complex_input else 1.0)
-        total += 3 * 2.0 * gemms  # 2 fp32 + 1 fp64 sweep, flops each
-    return total
+    reduce_macs = n**3 * (1.0 / 3 + 1.0 + 4.0 / 3 + 4.0 / 3)
+    if not mixed:
+        back = 4.0 * n * n * m + n * n * m  # selected-column unmtr + trsm
+        total = c * 2.0 * (reduce_macs + back)  # MAC -> flop
+        return total, {"pipeline": total, "refine32": 0.0, "refine64": 0.0}
+    pipeline = c * 2.0 * (reduce_macs + 4.0 * n**3 + n**3)
+    ms = min(n, m + margin) - max(0, il - 1 - margin)
+    ck = 3.0 if complex_input else 1.0
+    sweep = 2.0 * 5.0 * n * n * ms * ck
+    refine32 = max(sweeps - 1, 0) * sweep  # coarse fp32 sweeps
+    refine64 = (1 if sweeps > 0 else 0) * sweep  # the fp64 (ozaki) sweep
+    return pipeline + refine32 + refine64, {
+        "pipeline": pipeline, "refine32": refine32, "refine64": refine64,
+    }
 
 
 def main():
@@ -154,11 +170,25 @@ def main():
         times.append(wallclock() - t0)
     ours_ms = min(times) * 1e3
     log(f"steady wall-time: {ours_ms:.1f} ms; all runs: {[f'{t*1e3:.1f}' for t in times]}")
-    fl = flops_model(n, iu, dtype == "complex128", mode == "mp")
-    log(
-        f"model flops: {fl/1e9:.0f} GFLOP -> {fl/ours_ms/1e6:.0f} GFLOP/s "
-        f"effective (north-star metric, BASELINE.json)"
+    fl, parts = flops_model(
+        n, iu, dtype == "complex128", mode == "mp",
+        margin=cfg.refine_margin, sweeps=cfg.refine_iters,
     )
+    log(
+        f"model flops: {fl/1e9:.0f} GFLOP (pipeline {parts['pipeline']/1e9:.0f}"
+        f" + refine32 {parts['refine32']/1e9:.0f} + refine64"
+        f" {parts['refine64']/1e9:.0f}) -> {fl/ours_ms/1e6:.0f} GFLOP/s "
+        f"effective (north-star metric, BASELINE.json; counts executed "
+        f"selected-range refinement, not full-spectrum sweeps)"
+    )
+    # North-star external comparison (BASELINE.md "A100 baseline"): the
+    # pinned modeled cuSOLVER-on-A100 wall-time for this config.
+    if n == 4096 and iu == 1024 and dtype == "complex128" and mode == "mp":
+        a100_ms = 900.0  # BASELINE.md §"Pinned A100 baseline" (modeled)
+        log(
+            f"vs pinned A100 cuSOLVER zhegvdx model ({a100_ms:.0f} ms): "
+            f"{ours_ms/a100_ms:.2f}x (north star: <= 1.2x)"
+        )
 
     vs_baseline = 0.0
     if not os.environ.get("EIGSOLVE_BENCH_SKIP_CPU"):

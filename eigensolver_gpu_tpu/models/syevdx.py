@@ -73,10 +73,10 @@ def _use_two_stage(n, cfg, iscomplex, compute_is_f64):
     doubles per doubling of n, while the two-stage total grows slower
     (n=2048: 3 115 ms, dominated by the chase whose step cost is
     size-independent) -- the crossover is near n=4096, so 'auto'
-    switches for fp64 compute there. In fp32 the phased Mosaic chase
-    (late round 3) flipped the large-n crossover: n=8192 two-stage
-    334+563+250+52 = ~1 200 ms vs one-stage 1 453; n=4096 still favors
-    one-stage (386 vs 183, fixed costs dominate). The fp32 switch is
+    switches for fp64 compute there. In fp32 the phased + aligned-
+    grouped Mosaic chase (late round 3) flipped the large-n crossover:
+    n=8192 two-stage 334+352+250+52 = 988 ms vs one-stage 1 453; n=4096
+    still favors one-stage (330 vs 183, fixed costs dominate). The fp32 switch is
     TPU-only: every other backend runs the XLA fori_loop chase, which
     loses by 3x+ at every size.
     """

@@ -63,6 +63,12 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         raise ValueError(f"A and B must be square and equal shape, got {a.shape}, {b.shape}")
     if iu is None:
         iu = n
+    # Validate the index range on EVERY path (the reference validates
+    # workspace sizes but lets bad il/iu through, zhegvdx_gpu.F90:106-127;
+    # round-3 gap: the mixed branch silently clamped out-of-range iu via
+    # slicing and returned fewer columns than requested).
+    if not (1 <= il <= iu <= n):
+        raise ValueError(f"need 1 <= il <= iu <= n, got il={il}, iu={iu}, n={n}")
     a = _from_upper(a)
     b = _from_upper(b)
 
@@ -115,7 +121,15 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     # gemms, no full-width solve temps (ops/sygst.sygst_inv).
     sygst_mode = cfg.sygst_mode
     if sygst_mode == "full":
-        if a.dtype in (jnp.float32, jnp.complex64) and n % 512 == 0 and n >= 1024:
+        # 'inv' is only valid when the batched block inversion can run:
+        # nb must divide n and be base*2^j with base=16 (ops/trsm.py
+        # _trinv_lower_batched); incompatible nb (e.g. the reference's
+        # 448) falls through to 'full'/'blocked' instead of raising.
+        nbs = cfg.nb_sygst
+        nb_ok = (
+            n % nbs == 0 and nbs % 16 == 0 and (nbs // 16) & (nbs // 16 - 1) == 0
+        )
+        if a.dtype in (jnp.float32, jnp.complex64) and nb_ok and n >= 1024:
             sygst_mode = "inv"
         elif n >= 8192:
             sygst_mode = "blocked"

@@ -86,9 +86,10 @@ def _floor_log2(x):
 
     (fp64 log on this platform is only ~1e-8 accurate -- never use it
     where an integer exponent must be exact.)  One f32-exponent read
-    covers [2^-126, 2^127]; two fixed rescale-and-reread passes extend
-    it to the full fp64 range (denormal f64 included): each pass
-    reduces the residual exponent magnitude by up to ~123."""
+    covers [2^-126, 2^127]; eight fixed rescale-and-reread passes
+    (ceil(1074/123)) extend it to the full fp64 range (denormal f64
+    included): each pass reduces the residual exponent magnitude by up
+    to ~123."""
     def _f32_exp(v):
         v32 = jnp.clip(v, 1e-37, 1e37).astype(jnp.float32)
         bits = lax.bitcast_convert_type(v32, jnp.int32)

@@ -188,6 +188,12 @@ def _run_sweeps(one_sweep, x, w_rows, n_full, extra_max, n, dt):
     defect = None
     for _ in range(n_full):
         x, w, w_rows, defect = one_sweep(x, w_rows)
+    if defect is None and extra_max > 0:
+        # sweeps=0 with escalation enabled: the defect gate needs one
+        # measured sweep to seed the while_loop carry (a None seed
+        # crashes at trace time); spend the first escalation sweep here.
+        x, w, w_rows, defect = one_sweep(x, w_rows)
+        extra_max -= 1
     if extra_max > 0 and jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64:
         # tolerance sits well above the defect's gram-noise floor
         # (measured ~3e-13 scale) and well below a one-sweep-short

@@ -63,6 +63,35 @@ def test_syevdx_top_of_spectrum():
     w_ref = np.linalg.eigvalsh(a)
     assert np.allclose(np.asarray(w), w_ref[-4:], atol=1e-11 * n)
 
+@pytest.mark.parametrize("il,iu", [(1, 999), (0, 4), (5, 4), (-3, 2)])
+@pytest.mark.parametrize("mixed", [False, True])
+def test_iliu_validation_raises(il, iu, mixed):
+    """Every driver path must reject an out-of-range il/iu up front.
+
+    Round-3 gap: the mixed branch silently clamped iu > n via slicing and
+    returned fewer columns than requested -- the silent-contract class of
+    bug SURVEY.md §5.3 faults the reference for."""
+    n = 32
+    a, b = random_spd_pair(n, seed=107)
+    cfg = SolverConfig(stedc_leaf=16,
+                       compute_dtype="float32" if mixed else None)
+    with pytest.raises(ValueError, match="il"):
+        dsygvdx(a, b, il=il, iu=iu, cfg=cfg)
+
+
+def test_sygst_inv_gate_falls_back_on_incompatible_nb():
+    """fp32 inputs with an nb_sygst the batched block inversion cannot
+    take (e.g. the reference's 448: not 16*2^j) must fall back to
+    'full', not raise at trace time (round-3 advisor finding)."""
+    import jax
+
+    from eigensolver_gpu_tpu.models.sygvdx import sygvdx
+
+    cfg = SolverConfig(stedc_leaf=16, nb_sygst=448)
+    shp = jax.ShapeDtypeStruct((1024, 1024), np.float32)
+    jax.eval_shape(lambda a, b: sygvdx(a, b, il=1, iu=8, cfg=cfg), shp, shp)
+
+
 def test_bitwise_determinism():
     """SURVEY.md §5.2: the reference's atomicAdd accumulation is
     nondeterministic run to run; this framework has no atomics and must

@@ -45,6 +45,20 @@ def test_dsygvdx_mixed_precision():
     assert ge_residual(a, b, np.asarray(w), np.asarray(z)) < 1e-11
 
 
+def test_refine_sweeps_zero_with_escalation():
+    """sweeps=0 + extra_max>0 must seed the defect gate with one sweep
+    instead of crashing at trace time (round-3 advisor finding)."""
+    n = 48
+    a, b = random_spd_pair(n, seed=56)
+    from eigensolver_gpu_tpu.ops.refine import refine_gevp
+
+    w32, x32 = scipy.linalg.eigh(a.astype(np.float32), b.astype(np.float32))
+    w, x = refine_gevp(a, b, x32.astype(np.float64), sweeps=0, extra_max=3)
+    w, x = np.asarray(w), np.asarray(x)
+    res = np.max(np.abs(a @ x - b @ x * w[None, :]))
+    assert res < 1e-11 * n
+
+
 def test_refine_gevp_recovers_fp64():
     """fp32-quality generalized eigenpairs refined to fp64 residuals
     against the fp64 (A, B) pair directly (ops/refine.refine_gevp)."""
