@@ -46,14 +46,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+# Escape hatch: EIGSOLVE_CHASE_LADDER=1 keeps the round-3 masked-roll
+# ladders in case a toolchain rejects/slows the strided roll lowering.
+_USE_LADDER = bool(os.environ.get("EIGSOLVE_CHASE_LADDER"))
+
+
 def _shear(x, w, lanes, left):
     """Per-sublane-index lane roll: out[s, q, l] = x[s, q, l -+ q].
 
-    Descending power-of-two masked rolls; with content width < lanes -
-    max_shift at each stage the circular wrap region is empty (see
-    module docstring).  ``left=False`` shifts row q right by q (band
-    strip -> window rows), ``left=True`` undoes it.
+    Fast path (round 4): ONE hardware strided roll --
+    ``pltpu.roll(x, shift, axis=2, stride, stride_axis=1)`` rotates lane
+    l of sublane q to l + shift + stride*q (mod lanes); stride=1 shifts
+    row q right by q (band strip -> window rows), stride=lanes-1 == -1
+    undoes it.  Replaces the round-3 ladder of log2(w) masked
+    power-of-two rolls (6 full VPU select passes each way at w=64).
     """
+    if not _USE_LADDER:
+        stride = lanes - 1 if left else 1
+        return pltpu.roll(x, shift=jnp.int32(0), axis=2, stride=stride,
+                          stride_axis=1)
     s, wq, _ = x.shape
     q = lax.broadcasted_iota(jnp.int32, (1, wq, 1), 1)
     shift = 1
@@ -74,10 +87,23 @@ def _subroll(x, n_sl, chunk, up):
     at chunk rows [off, off+2b) with off(sl) = n_sl-1-sl (the -1/slot
     drift of the aligned chunk view); up=True brings it to [0, 2b),
     up=False undoes it. Circular within the chunk, so the round trip is
-    the identity on every row. Mask key = slot index (dim 0), invariant
-    under the axis-1 rolls -- the shear trick, one axis over."""
+    the identity on every row.
+
+    Fast path (round 4): one strided roll over the slot axis -- roll up
+    by n_sl-1-sl == roll down by chunk-(n_sl-1)+sl, i.e. shift =
+    chunk-n_sl+1, stride = +1; the inverse rolls down by (n_sl-1) - sl,
+    i.e. shift = n_sl-1, stride = chunk-1 == -1 (mod chunk).  Ladder
+    fallback: mask key = slot index (dim 0), invariant under the axis-1
+    rolls -- the shear trick, one axis over."""
     if n_sl == 1:
         return x
+    if not _USE_LADDER:
+        if up:
+            shift, stride = (chunk - n_sl + 1) % chunk, 1
+        else:
+            shift, stride = n_sl - 1, chunk - 1
+        return pltpu.roll(x, shift=jnp.int32(shift), axis=1, stride=stride,
+                          stride_axis=0)
     slv = lax.broadcasted_iota(jnp.int32, (n_sl, 1, 1), 0)
     off = n_sl - 1 - slv
     shift = 1
@@ -105,8 +131,10 @@ def _chase_kernel(
     # aligned stride -- benchmarks/vmem_roundtrip_micro.py). Slots are
     # therefore processed in groups of <= b whose chunk view uses height
     # stride+1 = 3b (tile-aligned when b % 8 == 0); the per-slot -1-row
-    # drift of that view is absorbed by masked sublane rolls (_subroll).
-    grouped = (3 * b) % 8 == 0 and ablate is None
+    # drift of that view is absorbed by strided sublane rolls (_subroll).
+    # 'aligned'/'static' ablations time the UNGROUPED slicing and keep
+    # the old path; the rest ablate the production (grouped) kernel.
+    grouped = (3 * b) % 8 == 0 and ablate not in ("aligned", "static")
 
     @pl.when(g == 0)
     def _():
@@ -210,23 +238,34 @@ def _chase_kernel(
                 base = start + i32(stride * s0) - i32(n_sl - 1)
                 flat = band_out[pl.ds(base, n_sl * chunk), :]
                 ch = flat.reshape(n_sl, chunk, w)
-                ch = _subroll(ch, n_sl, chunk, up=True)
+                if ablate != "nosubroll":
+                    ch = _subroll(ch, n_sl, chunk, up=True)
                 strip = ch[:, :w, :]
                 pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
-                wt = _shear(
-                    jnp.concatenate([strip, pad], axis=2), w, lanes, False
+                cat = jnp.concatenate([strip, pad], axis=2)
+                wt = cat if ablate == "noshear" else _shear(cat, w, lanes, False)
+                if ablate == "nomath":
+                    # WRONG RESULTS: skip reflector math, keep the deps
+                    v = wt[:, 0, :b]
+                    tau = wt[:, 0, 0:1]
+                else:
+                    wt, v, tau = window_update(wt, n_sl, s0, vmax, k0)
+                strip_new = (
+                    wt[:, :, :w]
+                    if ablate == "noshear"
+                    else _shear(wt, w, lanes, True)[:, :, :w]
                 )
-                wt, v, tau = window_update(wt, n_sl, s0, vmax, k0)
-                strip_new = _shear(wt, w, lanes, True)[:, :, :w]
                 ch = jnp.concatenate([strip_new, ch[:, w:, :]], axis=1)
-                ch = _subroll(ch, n_sl, chunk, up=False)
+                if ablate != "nosubroll":
+                    ch = _subroll(ch, n_sl, chunk, up=False)
                 # trimmed write: [base, base + stride*n_sl) regions tile
                 # the band exactly across groups (last strip ends at
                 # chunk*(n_sl-1)+2b <= stride*n_sl whenever n_sl <= b),
                 # so no group clobbers a neighbor's freshly written strip
-                band_out[pl.ds(base, stride * n_sl), :] = ch.reshape(
-                    n_sl * chunk, w
-                )[: stride * n_sl]
+                if ablate != "nowrite":
+                    band_out[pl.ds(base, stride * n_sl), :] = ch.reshape(
+                        n_sl * chunk, w
+                    )[: stride * n_sl]
                 vt_ref[pl.ds(i, 1), s0 : s0 + n_sl, :] = v[None]
                 tau_ref[pl.ds(i, 1), s0 : s0 + n_sl] = tau[:, 0][None]
             return carry
@@ -326,7 +365,7 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
     # a static per-chunk slot count roughly halves that term over the
     # run; the in-kernel ``active`` mask keeps correctness, phases only
     # shrink the slot dim where slots are provably inactive.
-    n_phases = min(10, grid) if ablate is None else 1
+    n_phases = 1 if ablate in ("aligned", "static") else min(10, grid)
     blocks_per = -(-grid // n_phases)
     phases = []
     for p0 in range(0, grid, blocks_per):

@@ -28,9 +28,14 @@ jax.config.update("jax_enable_x64", True)
 # --durations, late round 3). Persist them: cache keys are HLO hashes,
 # so edited code still recompiles -- only genuinely unchanged traces
 # hit. Cuts repeat full-suite runs from ~40 min toward minutes.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tests"),
+# CAUTION: concurrent pytest processes sharing one cache dir can race in
+# the zstandard cache read/write and SEGFAULT (observed round 4).  When
+# sharding the suite across processes, give each shard its own dir via
+# EIGSOLVE_TEST_CACHE_SUBDIR (tests/run_sharded.sh does this).
+_cache = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tests",
+    os.environ.get("EIGSOLVE_TEST_CACHE_SUBDIR", ""),
 )
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
