@@ -128,6 +128,51 @@ def trsm_left_upper_inv(u, b, nb=512):
     return x
 
 
+@highest_precision
+@functools.partial(jax.jit, static_argnames=("base",))
+def trinv_upper_full(u, base=512):
+    """FULL upper-triangular inverse by bottom-up batched block doubling
+    (the real/complex-dtype twin of ops/planar.ptrinv_lower, transposed).
+
+    Level 0 inverts all n/base diagonal blocks together; each of the
+    log2(n/base) merge levels is a pair of batched gemms via
+    inv([[A,0],[C,D]]) = [[iA,0],[-iD C iA, iD]] on the transposed
+    (lower) view -- every step is a partitionable gemm, so on a sharded
+    mesh the SPMD partitioner never builds a sequential collective
+    chain (the failure mode of both XLA's whole-matrix solve and the
+    unrolled block-substitution schemes at n=16384, RESULTS.md config-5).
+
+    Forward error ~eps * kappa(U) (explicit full inverse): strictly for
+    fp32 pipelines whose fp64 refinement absorbs it. Requires
+    n = base * 2^k."""
+    n = u.shape[0]
+    if n % base != 0 or (n // base) & (n // base - 1):
+        raise ValueError(f"trinv_upper_full requires n = base * 2^k, got {n}")
+    l = u.T  # lower view; inv(U) = inv(L)^T (transpose, no conjugation)
+    nb0 = n // base
+    diags = jnp.stack(
+        [l[k * base : (k + 1) * base, k * base : (k + 1) * base]
+         for k in range(nb0)]
+    )
+    inv = _trinv_lower_batched(diags)
+    size = base
+    while size < n:
+        pairs = n // (2 * size)
+        ia, id_ = inv[0::2], inv[1::2]
+        c = jnp.stack(
+            [l[(2 * p + 1) * size : (2 * p + 2) * size,
+               2 * p * size : (2 * p + 1) * size] for p in range(pairs)]
+        )
+        m = jnp.einsum("bij,bjk,bkl->bil", id_, c, ia)
+        z = jnp.zeros_like(m)
+        inv = jnp.concatenate(
+            [jnp.concatenate([ia, z], axis=2),
+             jnp.concatenate([-m, id_], axis=2)], axis=1
+        )
+        size *= 2
+    return inv[0].T
+
+
 def upper_block_inverses(u, nb):
     """Batched inverses of U's nb x nb diagonal blocks (upper)."""
     n = u.shape[0]

@@ -82,39 +82,50 @@ def _sharded_step(a, b, mesh, il, iu, cfg):
         )
 
     u, info = cholesky_upper(b)
-    # reduction to standard form with sharded operands; XLA partitions
-    # the solves/gemms and inserts ICI collectives. The blocked
-    # recurrence is used at scale for the same reason as single-chip
-    # (XLA's whole-matrix solve keeps O(n) full-width temps alive).
-    # NOTE: sygst_inv was tried here and REGRESSED the n=16384 memory
-    # plan 8.2 -> 12.3 GB/device (two unrolled full-width update chains
-    # on the sharded (n, n) buffer hold too many live versions, and the
-    # per-step U slabs quadruple the collective-permutes) -- the
-    # bucketed fori_loop recurrence stays for sharded runs.
-    if n >= 8192 or cfg.sygst_mode == "blocked":
-        from eigensolver_gpu_tpu.ops.sygst import sygst_blocked
+    # SPMD-first phases 2 and 4 for the fp32 inner pipeline (round 4,
+    # VERDICT #4): compute inv(U) ONCE by batched block doubling --
+    # log2(n/512) levels of partitionable gemms, no sequential solve
+    # chain for the partitioner to serialize -- then phase 2 is two
+    # gemms C = inv^H A inv and phase 4 one gemm Z = inv Y.  Replaces
+    # both of the round-3 memory-plan offenders (fp32 sygst_blocked
+    # 4.65 GB/device; phase-4 whole-matrix trsm 3.0 GB + collective
+    # chain).  Forward error ~eps32 * kappa(U) is absorbed by the fp64
+    # refinement (defect-gated escalation guards the contract).
+    # History: per-block sygst_inv was tried round 3 and REGRESSED the
+    # plan 8.2 -> 12.3 GB/device (unrolled full-width update chains on
+    # the sharded buffer); the full inverse has no such chains.
+    lowprec = a.dtype in (jnp.float32, jnp.complex64)
+    inv_ok = n % 512 == 0 and (n // 512) & (n // 512 - 1) == 0
+    if lowprec and inv_ok:
+        from eigensolver_gpu_tpu.ops.trsm import trinv_upper_full
 
-        c = sygst_blocked(a, u, nb=cfg.nb_sygst)
-    else:
-        x = lax.linalg.triangular_solve(
-            u, a, left_side=True, lower=False, transpose_a=True,
-            conjugate_a=True,
-        )
-        c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
+        inv = lax.with_sharding_constraint(trinv_upper_full(u, base=512), row)
+        c = jnp.conj(inv.T) @ lax.with_sharding_constraint(a @ inv, row)
         c = (c + jnp.conj(c.T)) / 2
+    else:
+        inv = None
+        if n >= 8192 or cfg.sygst_mode == "blocked":
+            from eigensolver_gpu_tpu.ops.sygst import sygst_blocked
+
+            c = sygst_blocked(a, u, nb=cfg.nb_sygst)
+        else:
+            x = lax.linalg.triangular_solve(
+                u, a, left_side=True, lower=False, transpose_a=True,
+                conjugate_a=True,
+            )
+            c = lax.linalg.triangular_solve(u, x, left_side=False, lower=False)
+            c = (c + jnp.conj(c.T)) / 2
     # standard solve with the dominant stages sharded over 'tp'
     # (tridiagonalization, stedc merges, back-transform, refinement)
     c = lax.with_sharding_constraint(c, row)
     w, y = syevdx(c, il=il, iu=iu, cfg=cfg, mesh=mesh)
     y = lax.with_sharding_constraint(y, row)
-    # phase-4 back-substitution: the inverse-diagonal blocked solve
-    # (ops/trsm.py) replaces XLA's whole-matrix solve on the fp32
-    # pipeline -- its correction gemms partition over the mesh instead
-    # of serializing a collective chain, and the O(n) full-width solve
-    # temps (~3 GB/device at n=16384, RESULTS.md) disappear
-    from eigensolver_gpu_tpu.ops.trsm import trsm_phase4
+    if inv is not None:
+        z = inv @ y  # phase 4: one partitionable gemm, inv reused
+    else:
+        from eigensolver_gpu_tpu.ops.trsm import trsm_phase4
 
-    z = trsm_phase4(u, y)
+        z = trsm_phase4(u, y)
     z = lax.with_sharding_constraint(z, row)
     return SygvdxResult(w=w, z=z, info=info)
 

@@ -99,3 +99,15 @@ def test_trsm_phase4_gating():
         x_ref = scipy.linalg.solve_triangular(u, b, lower=False)
         tol = 1e-4 if dt == np.float32 else 1e-10 * n
         assert np.allclose(x, x_ref, atol=tol * np.max(np.abs(x_ref)))
+
+
+def test_trinv_upper_full_matches_scipy():
+    from eigensolver_gpu_tpu.ops.trsm import trinv_upper_full
+
+    n = 512
+    u = _upper_factor(n, seed=9)
+    inv = np.asarray(trinv_upper_full(jnp.asarray(u), base=128))
+    ref = scipy.linalg.solve_triangular(u, np.eye(n), lower=False)
+    assert np.triu(inv).shape == inv.shape  # sanity
+    assert np.allclose(inv, ref, atol=1e-10 * n)
+    assert np.max(np.abs(np.tril(inv, -1))) == 0.0
