@@ -185,9 +185,24 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             (abr, abi), vs, ts = psbrd(cr_p, ci_p, band=cfg.band, bucket=512)
             band_r = dense_to_band(abr, cfg.band)
             band_i = dense_to_band(abi, cfg.band)
-            d, (e_r, e_i), vt, taut = bulge_chase_planar(
-                band_r, band_i, cfg.band
-            )
+            # Mosaic planar chase on fp32 TPU runs (single kernel per
+            # phase, strided-roll shears); XLA chase everywhere else
+            if (
+                ar.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and (3 * cfg.band) % 8 == 0
+            ):
+                from eigensolver_gpu_tpu.ops.chase_pallas import (
+                    bulge_chase_planar_pallas,
+                )
+
+                d, (e_r, e_i), vt, taut = bulge_chase_planar_pallas(
+                    band_r, band_i, cfg.band
+                )
+            else:
+                d, (e_r, e_i), vt, taut = bulge_chase_planar(
+                    band_r, band_i, cfg.band
+                )
             (p_r, p_i), e_abs = phase_normalize(e_r, e_i)
             w_all, q_tri = stedc(d, e_abs, leaf=cfg.stedc_leaf)
             w = w_all[il - 1 : iu]
@@ -198,9 +213,25 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             g = cfg.replay_g or (
                 3 * cfg.band if ar.dtype == jnp.float32 else cfg.band
             )
-            yr, yi = apply_q2_planar(
-                vt, taut, (zr0, zi0), npad, cfg.band, g=g
+            use_kernel = (
+                ar.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and g % 8 == 0
+                and cfg.band % 8 == 0
+                and cfg.band + g - 1 <= 128
             )
+            if use_kernel:
+                from eigensolver_gpu_tpu.ops.replay_pallas import (
+                    apply_q2_planar_pallas,
+                )
+
+                yr, yi = apply_q2_planar_pallas(
+                    vt, taut, (zr0, zi0), npad, cfg.band, g=g
+                )
+            else:
+                yr, yi = apply_q2_planar(
+                    vt, taut, (zr0, zi0), npad, cfg.band, g=g
+                )
             yr, yi = apply_q1_planar(vs, ts, (yr, yi))
         else:
             (pr, pi), d, e, (taur, taui) = hetrd_planar(

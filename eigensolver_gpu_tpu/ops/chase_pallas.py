@@ -318,6 +318,301 @@ def _chase_kernel(
     lax.fori_loop(i32(0), i32(tb), step, i32(0))
 
 
+def _chase_kernel_planar(
+    n, b, s_slots, stride, tb, t_total, pad_f, lanes, t0, *refs
+):
+    """Planar complex twin of _chase_kernel (grouped path only).
+
+    The two-sided update is A <- H^H A H with H = I - tau v v^H (zlarfg
+    annihilates via H^H; see ops/sb2st_planar.bulge_chase_planar, whose
+    XLA window algebra this kernel re-expresses region-wise in the
+    transposed [q=col, l=row] window storage):
+
+      A10^T <- A10^T - conj(tau) (A10^T conj(v)) v^T
+      y = A11 v (tril + conj-mirror), w = tau y - 1/2 |tau|^2 (v^H y) v,
+        A11[q,l] -= conj(w[q]) v[l] + conj(v[q]) w[l]   (l >= q)
+      A21^T <- A21^T - tau conj(v)_sub (A21^T v)
+    """
+    (br_in, bi_in, br_out, bi_out, vtr_ref, vti_ref, taur_ref,
+     taui_ref) = refs
+    g = pl.program_id(0)
+    w = 2 * b
+    f1 = jnp.float32(1.0)
+
+    @pl.when(g == 0)
+    def _():
+        br_out[:, :] = br_in[:, :]
+        bi_out[:, :] = bi_in[:, :]
+
+    lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    sub_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    tril_mask = (lane_b >= sub_b).astype(jnp.float32)
+    strict_gt = (lane_b > sub_b).astype(jnp.float32)
+    i32 = jnp.int32
+
+    def window_update(wtr, wti, n_sl, s0, vmax, k0):
+        svec = i32(s0) + lax.broadcasted_iota(jnp.int32, (n_sl, 1), 0)
+        v_s = vmax - svec
+        k_s = k0 + i32(3) * svec
+        r0_s = v_s + i32(1) + k_s * i32(b)
+        active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
+
+        src = (k_s == i32(0)) & (k0 == i32(0))
+        x_r = jnp.where(src, wtr[:, b - 1, b:w], wtr[:, 0, b:w])
+        x_i = jnp.where(src, wti[:, b - 1, b:w], wti[:, 0, b:w])
+
+        # batched planar zlarfg (real beta, complex tau/v)
+        tail = (lane_b[0] > 0).astype(jnp.float32)
+        ar = x_r[:, 0:1]
+        ai = x_i[:, 0:1]
+        xtr = x_r * tail
+        xti = x_i * tail
+        xnormsq = jnp.sum(xtr * xtr + xti * xti, axis=1, keepdims=True)
+        norm = jnp.sqrt(ar * ar + ai * ai + xnormsq)
+        beta = jnp.where(ar >= 0, -norm, norm)
+        trivial = (xnormsq == 0) & (ai == 0)
+        safe_beta = jnp.where(trivial, f1, beta)
+        tau_r = jnp.where(trivial, 0.0, (beta - ar) / safe_beta)
+        tau_i = jnp.where(trivial, 0.0, -ai / safe_beta)
+        tau_r = jnp.where(active, tau_r, 0.0)
+        tau_i = jnp.where(active, tau_i, 0.0)
+        dr = ar - beta
+        dd = jnp.where(trivial, f1, dr * dr + ai * ai)
+        sc_r = dr / dd
+        sc_i = -ai / dd
+        v_r = xtr * sc_r - xti * sc_i
+        v_i = xtr * sc_i + xti * sc_r
+        lane0 = (lane_b[0] == 0).astype(jnp.float32)
+        v_r = v_r * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
+        v_i = v_i * (1.0 - lane0)
+
+        vr_l = v_r[:, None, :]
+        vi_l = v_i[:, None, :]
+        vr_s = vr_l.reshape(n_sl, b, 1)
+        vi_s = vi_l.reshape(n_sl, b, 1)
+        tr3 = tau_r[:, :, None]
+        ti3 = tau_i[:, :, None]
+
+        # A10^T at [:, :b, b:2b]: -= conj(tau) (A10^T conj(v)) v^T
+        a10r = wtr[:, 0:b, b:w]
+        a10i = wti[:, 0:b, b:w]
+        u1r = jnp.sum(a10r * vr_l + a10i * vi_l, axis=2, keepdims=True)
+        u1i = jnp.sum(a10i * vr_l - a10r * vi_l, axis=2, keepdims=True)
+        ctr = tr3 * u1r + ti3 * u1i
+        cti = tr3 * u1i - ti3 * u1r
+        a10r = a10r - (ctr * vr_l - cti * vi_l)
+        a10i = a10i - (ctr * vi_l + cti * vr_l)
+
+        # A11 tril at [:, b:2b, b:2b], [q=col, l=row]
+        w11r = wtr[:, b:w, b:w]
+        w11i = wti[:, b:w, b:w]
+        l11r = w11r * tril_mask
+        l11i = w11i * tril_mask
+        # y[l] = sum_{q<=l} W[q,l] v[q] + sum_{q>l... } mirror
+        t1r = jnp.sum(l11r * vr_s - l11i * vi_s, axis=1, keepdims=True)
+        t1i = jnp.sum(l11r * vi_s + l11i * vr_s, axis=1, keepdims=True)
+        # mirror: y[q] += sum_{l>q} conj(W[q,l]) v[l]
+        t2r = jnp.sum((w11r * vr_l + w11i * vi_l) * strict_gt,
+                      axis=2, keepdims=True)
+        t2i = jnp.sum((w11r * vi_l - w11i * vr_l) * strict_gt,
+                      axis=2, keepdims=True)
+        yr = t1r + t2r.reshape(n_sl, 1, b)
+        yi = t1i + t2i.reshape(n_sl, 1, b)
+        # vav = Re(v^H y) (exactly real for Hermitian A11)
+        vav = jnp.sum(vr_l * yr + vi_l * yi, axis=2, keepdims=True)
+        t2ab = tr3 * tr3 + ti3 * ti3
+        wvr = tr3 * yr - ti3 * yi - 0.5 * t2ab * vav * vr_l
+        wvi = tr3 * yi + ti3 * yr - 0.5 * t2ab * vav * vi_l
+        wr_s = wvr.reshape(n_sl, b, 1)
+        wi_s = wvi.reshape(n_sl, b, 1)
+        # upd[q,l] = conj(w[q]) v[l] + conj(v[q]) w[l]
+        upd_r = wr_s * vr_l + wi_s * vi_l + vr_s * wvr + vi_s * wvi
+        upd_i = wr_s * vi_l - wi_s * vr_l + vr_s * wvi - vi_s * wvr
+        l11_new_r = w11r - upd_r * tril_mask
+        l11_new_i = w11i - upd_i * tril_mask
+
+        # A21^T at [:, b:2b, 2b:3b]: -= tau conj(v)_sub (A21^T v)
+        a21r = wtr[:, b:w, 2 * b : 3 * b]
+        a21i = wti[:, b:w, 2 * b : 3 * b]
+        y2r = jnp.sum(a21r * vr_s - a21i * vi_s, axis=1, keepdims=True)
+        y2i = jnp.sum(a21r * vi_s + a21i * vr_s, axis=1, keepdims=True)
+        ty2r = tr3 * y2r - ti3 * y2i
+        ty2i = tr3 * y2i + ti3 * y2r
+        a21r = a21r - (vr_s * ty2r + vi_s * ty2i)
+        a21i = a21i - (vr_s * ty2i - vi_s * ty2r)
+
+        wtr = jnp.concatenate(
+            [
+                jnp.concatenate([wtr[:, 0:b, 0:b], a10r,
+                                 wtr[:, 0:b, 2 * b :]], axis=2),
+                jnp.concatenate([wtr[:, b:w, 0:b], l11_new_r, a21r,
+                                 wtr[:, b:w, 3 * b :]], axis=2),
+            ],
+            axis=1,
+        )
+        wti = jnp.concatenate(
+            [
+                jnp.concatenate([wti[:, 0:b, 0:b], a10i,
+                                 wti[:, 0:b, 2 * b :]], axis=2),
+                jnp.concatenate([wti[:, b:w, 0:b], l11_new_i, a21i,
+                                 wti[:, b:w, 3 * b :]], axis=2),
+            ],
+            axis=1,
+        )
+        return wtr, wti, v_r, v_i, tau_r, tau_i
+
+    def step(i, carry):
+        t = i32(t0) + g.astype(i32) * i32(tb) + i
+        vmax = t // i32(3)
+        k0 = t - i32(3) * vmax
+        start = vmax + i32(1) + k0 * i32(b) - i32(b) + i32(pad_f)
+        chunk = stride + 1  # = 3b, tile-aligned
+        for s0 in range(0, s_slots, b):
+            n_sl = min(b, s_slots - s0)
+            base = start + i32(stride * s0) - i32(n_sl - 1)
+            chr_ = br_out[pl.ds(base, n_sl * chunk), :].reshape(n_sl, chunk, w)
+            chi_ = bi_out[pl.ds(base, n_sl * chunk), :].reshape(n_sl, chunk, w)
+            chr_ = _subroll(chr_, n_sl, chunk, up=True)
+            chi_ = _subroll(chi_, n_sl, chunk, up=True)
+            pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
+            wtr = _shear(jnp.concatenate([chr_[:, :w, :], pad], axis=2),
+                         w, lanes, False)
+            wti = _shear(jnp.concatenate([chi_[:, :w, :], pad], axis=2),
+                         w, lanes, False)
+            wtr, wti, v_r, v_i, tau_r, tau_i = window_update(
+                wtr, wti, n_sl, s0, vmax, k0
+            )
+            snr = _shear(wtr, w, lanes, True)[:, :, :w]
+            sni = _shear(wti, w, lanes, True)[:, :, :w]
+            chr_ = jnp.concatenate([snr, chr_[:, w:, :]], axis=1)
+            chi_ = jnp.concatenate([sni, chi_[:, w:, :]], axis=1)
+            chr_ = _subroll(chr_, n_sl, chunk, up=False)
+            chi_ = _subroll(chi_, n_sl, chunk, up=False)
+            br_out[pl.ds(base, stride * n_sl), :] = chr_.reshape(
+                n_sl * chunk, w
+            )[: stride * n_sl]
+            bi_out[pl.ds(base, stride * n_sl), :] = chi_.reshape(
+                n_sl * chunk, w
+            )[: stride * n_sl]
+            vtr_ref[pl.ds(i, 1), s0 : s0 + n_sl, :] = v_r[None]
+            vti_ref[pl.ds(i, 1), s0 : s0 + n_sl, :] = v_i[None]
+            taur_ref[pl.ds(i, 1), s0 : s0 + n_sl] = tau_r[:, 0][None]
+            taui_ref[pl.ds(i, 1), s0 : s0 + n_sl] = tau_i[:, 0][None]
+        return carry
+
+    lax.fori_loop(i32(0), i32(tb), step, i32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("b", "tb", "interpret"))
+def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False):
+    """Planar complex Mosaic bulge chase: the complex twin of
+    bulge_chase_pallas (fp32, b % 8 == 0 only).  Same timestep/slot
+    storage as ops/sb2st_planar.bulge_chase_planar; apply_q2_planar (or
+    its Mosaic twin) replays either version's output.
+
+    Returns (d, (e_r, e_i), (vt_r, vt_i), (taut_r, taut_i))."""
+    n = band_r.shape[0]
+    w = 2 * b
+    if band_r.shape[1] != w:
+        raise ValueError(f"band must have 2b={w} diagonals, got {band_r.shape[1]}")
+    if band_r.dtype != jnp.float32 or band_i.dtype != jnp.float32:
+        raise TypeError("planar Mosaic chase is fp32-only; use the XLA chase")
+    if (3 * b) % 8 != 0:
+        raise ValueError(f"planar Mosaic chase requires 3b % 8 == 0, got b={b}")
+    if tb % 3 != 0:
+        raise ValueError(f"tb must be a multiple of 3, got {tb}")
+    kmax = max((n - 3) // b, 0)
+    s_slots = kmax // 3 + 1
+    t_total = 3 * (n - 3) + 1 if n > 3 else 1
+    stride = 3 * b - 1
+    lanes = 128 * (-(-(4 * b - 1) // 128))
+
+    grid = -(-t_total // tb)
+    pad_f = 2 * b
+    pad_b = s_slots * stride + w + tb // 3 + b + 4
+    npad = n + pad_f + pad_b
+    zero = jnp.zeros((npad, w), jnp.float32)
+    bp_r = lax.dynamic_update_slice(zero, band_r, (pad_f, 0))
+    bp_i = lax.dynamic_update_slice(zero, band_i, (pad_f, 0))
+
+    # same phase plan as the real kernel (see bulge_chase_pallas)
+    n_phases = min(10, grid)
+    blocks_per = -(-grid // n_phases)
+    phases = []
+    for p0 in range(0, grid, blocks_per):
+        nblk = min(blocks_per, grid - p0)
+        vmax_lo = (p0 * tb) // 3
+        vmax_hi = (min((p0 + nblk) * tb, t_total) - 1) // 3
+        s_ramp = vmax_hi + 1
+        s_tail = (n - 3 - vmax_lo) // stride + 1 if n > 3 else 1
+        phases.append((p0, nblk, max(1, min(s_slots, s_ramp, s_tail))))
+
+    const2 = lambda g: (jnp.int32(0), jnp.int32(0))
+    vtrs, vtis, taurs, tauis = [], [], [], []
+    for p0, nblk, s_p in phases:
+        kernel = functools.partial(
+            _chase_kernel_planar, n, b, s_p, stride, tb, t_total, pad_f,
+            lanes, p0 * tb,
+        )
+        band_spec = pl.BlockSpec(
+            (npad, w), index_map=const2, memory_space=pltpu.VMEM
+        )
+        vt_spec = pl.BlockSpec(
+            (tb, s_p, b),
+            index_map=lambda g: (g, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        )
+        tau_spec = pl.BlockSpec(
+            (tb, s_p),
+            index_map=lambda g: (g, jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[band_spec, band_spec],
+            out_specs=[band_spec, band_spec, vt_spec, vt_spec,
+                       tau_spec, tau_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((npad, w), jnp.float32),
+                jax.ShapeDtypeStruct((npad, w), jnp.float32),
+                jax.ShapeDtypeStruct((nblk * tb, s_p, b), jnp.float32),
+                jax.ShapeDtypeStruct((nblk * tb, s_p, b), jnp.float32),
+                jax.ShapeDtypeStruct((nblk * tb, s_p), jnp.float32),
+                jax.ShapeDtypeStruct((nblk * tb, s_p), jnp.float32),
+            ],
+            # band planes aliased in->out: halves the VMEM footprint
+            # (4 x (npad, 2b) fp32 buffers exceed VMEM at n = 8192)
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(bp_r, bp_i)
+        bp_r, bp_i, vt_p_r, vt_p_i, tau_p_r, tau_p_i = out
+        if s_p < s_slots:
+            padv = ((0, 0), (0, s_slots - s_p), (0, 0))
+            padt = ((0, 0), (0, s_slots - s_p))
+            vt_p_r = jnp.pad(vt_p_r, padv)
+            vt_p_i = jnp.pad(vt_p_i, padv)
+            tau_p_r = jnp.pad(tau_p_r, padt)
+            tau_p_i = jnp.pad(tau_p_i, padt)
+        vtrs.append(vt_p_r)
+        vtis.append(vt_p_i)
+        taurs.append(tau_p_r)
+        tauis.append(tau_p_i)
+    cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+    vt_r, vt_i = cat(vtrs), cat(vtis)
+    taut_r, taut_i = cat(taurs), cat(tauis)
+    out_r = lax.dynamic_slice(bp_r, (pad_f, 0), (n, w))
+    out_i = lax.dynamic_slice(bp_i, (pad_f, 0), (n, w))
+    d = out_r[:, 0]
+    ne = n - 1 if n > 1 else 0
+    return (
+        d, (out_r[:ne, 1], out_i[:ne, 1]), (vt_r, vt_i), (taut_r, taut_i)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("b", "tb", "interpret", "ablate"))
 def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
     """Pallas counterpart of ops/sb2st.bulge_chase (fp32).

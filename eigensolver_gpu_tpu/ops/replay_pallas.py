@@ -227,6 +227,268 @@ def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, n_waves,
 
 
 @highest_precision
+@functools.partial(jax.jit, static_argnames=("n", "b", "g"))
+def window_qs_planar(vt, taut, n, b, g):
+    """Planar twin of window_qs: every wave-slot's padded complex
+    window-Q as a concatenated (P, 2P) block [Q_r | Q_i].
+
+    Inactive slots hold the identity (Q_r = I, Q_i = 0).  The compact-WY
+    identity is T^{-1} = striu(V^H V) + diag(1/tau) (see
+    ops/sb2st_planar.apply_q2_planar, whose wave algebra this batches
+    off the sequential path)."""
+    from eigensolver_gpu_tpu.ops.sb2st_planar import _ptriu_inv_doubling
+
+    vt_r, vt_i = vt
+    tt_r, tt_i = taut
+    geo = _geometry(n, b, g)
+    kmax, l_win = geo["kmax"], geo["l_win"]
+    n_groups, n_act, n_waves = geo["n_groups"], geo["n_act"], geo["n_waves"]
+    n_act4 = -(-n_act // N_STREAMS) * N_STREAMS
+    nv = max(n - 2, 1)
+
+    v2_r, t2_r = repack_sweep_major(vt_r, tt_r, b, n)
+    v2_i, t2_i = repack_sweep_major(vt_i, tt_i, b, n)
+    kcap = v2_r.shape[0]
+    nvp = n_groups * g + g
+    kp = max(kmax + 2, kcap)
+    padv = lambda v: jnp.pad(v, ((0, kp - kcap), (0, nvp - nv), (0, 0)))
+    padt = lambda t: jnp.pad(t, ((0, kp - kcap), (0, nvp - nv)))
+    v2p_r, v2p_i = padv(v2_r), padv(v2_i)
+    t2p_r, t2p_i = padt(t2_r), padt(t2_i)
+
+    n_u = geo["n_u"]
+    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
+    u = u_lo[:, None] + np.arange(n_act4)[None, :]
+    jarr = geo["c0"][:, None] + u
+    karr = geo["par"][:, None] + 2 * u
+    a0 = jarr * g + karr * b
+    valid = (jarr >= 0) & (jarr < n_groups) & (karr <= kmax) & (a0 <= n - 3)
+    jj = np.where(valid, jarr, n_groups)
+    kk = np.where(valid, karr, kp - 1)
+    flat_idx = jnp.asarray(
+        (kk[:, :, None] * nvp + jj[:, :, None] * g + np.arange(g)).reshape(-1),
+        jnp.int32,
+    )
+    take_v = lambda v: jnp.take(
+        v.reshape(kp * nvp, b), flat_idx, axis=0
+    ).reshape(n_waves, n_act4, g, b)
+    take_t = lambda t: jnp.take(
+        t.reshape(kp * nvp), flat_idx, axis=0
+    ).reshape(n_waves, n_act4, g)
+    vb_r, vb_i = take_v(v2p_r), take_v(v2p_i)
+    ts_r, ts_i = take_t(t2p_r), take_t(t2p_i)
+
+    chunk = 8
+    nwp = -(-n_waves // chunk) * chunk
+    pad4 = ((0, nwp - n_waves), (0, 0), (0, 0), (0, 0))
+    pad3 = ((0, nwp - n_waves), (0, 0), (0, 0))
+    vb_r, vb_i = jnp.pad(vb_r, pad4), jnp.pad(vb_i, pad4)
+    ts_r, ts_i = jnp.pad(ts_r, pad3), jnp.pad(ts_i, pad3)
+    eye_g = jnp.eye(g, dtype=jnp.float32)
+    eye_l = jnp.eye(l_win, dtype=jnp.float32)
+    r = np.arange(P)
+    tail = jnp.asarray(np.diag((r >= l_win).astype(np.float32)))
+
+    def qform(args):
+        vbr, vbi, tsr, tsi = args
+        w = chunk * n_act4
+        vbr = vbr.reshape(w, g, b)
+        vbi = vbi.reshape(w, g, b)
+        tsr = tsr.reshape(w, g)
+        tsi = tsi.reshape(w, g)
+        live = (tsr != 0) | (tsi != 0)
+        den = tsr * tsr + tsi * tsi
+        safe = jnp.where(live, den, 1.0)
+        inv_r = jnp.where(live, tsr / safe, 1.0)   # 1/tau
+        inv_i = jnp.where(live, -tsi / safe, 0.0)
+        skew = lambda vb: jnp.swapaxes(
+            _shift_rows(jnp.pad(vb, ((0, 0), (0, 0), (0, g))), -1, l_win),
+            1, 2,
+        )
+        vw_r = skew(vbr) * live[:, None, :]
+        vw_i = skew(vbi) * live[:, None, :]
+        vtv_r = jnp.einsum("urs,urt->ust", vw_r, vw_r) + jnp.einsum(
+            "urs,urt->ust", vw_i, vw_i
+        )
+        vtv_i = jnp.einsum("urs,urt->ust", vw_r, vw_i) - jnp.einsum(
+            "urs,urt->ust", vw_i, vw_r
+        )
+        tinv_r = jnp.triu(vtv_r, 1) + eye_g[None] * inv_r[:, :, None]
+        tinv_i = jnp.triu(vtv_i, 1) + eye_g[None] * inv_i[:, :, None]
+        ti_r, ti_i = _ptriu_inv_doubling(tinv_r, tinv_i)
+        tv_r = jnp.einsum("ust,urt->usr", ti_r, vw_r) + jnp.einsum(
+            "ust,urt->usr", ti_i, vw_i
+        )
+        tv_i = jnp.einsum("ust,urt->usr", ti_i, vw_r) - jnp.einsum(
+            "ust,urt->usr", ti_r, vw_i
+        )
+        q_r = eye_l[None] - (
+            jnp.einsum("urs,usq->urq", vw_r, tv_r)
+            - jnp.einsum("urs,usq->urq", vw_i, tv_i)
+        )
+        q_i = -(
+            jnp.einsum("urs,usq->urq", vw_r, tv_i)
+            + jnp.einsum("urs,usq->urq", vw_i, tv_r)
+        )
+        qp_r = jnp.pad(q_r, ((0, 0), (0, P - l_win), (0, P - l_win))) + tail[None]
+        qp_i = jnp.pad(q_i, ((0, 0), (0, P - l_win), (0, P - l_win)))
+        qcat = jnp.concatenate([qp_r, qp_i], axis=2)  # (w, P, 2P)
+        return qcat.reshape(chunk, n_act4, P, 2 * P)
+
+    qw = lax.map(
+        qform,
+        (
+            vb_r.reshape(nwp // chunk, chunk, n_act4, g, b),
+            vb_i.reshape(nwp // chunk, chunk, n_act4, g, b),
+            ts_r.reshape(nwp // chunk, chunk, n_act4, g),
+            ts_i.reshape(nwp // chunk, chunk, n_act4, g),
+        ),
+    ).reshape(nwp, n_act4, P, 2 * P)
+    return qw[:n_waves]
+
+
+def _replay_kernel_planar(n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
+                          n_waves, *refs):
+    (yr_in, yi_in, *qws), (yr_out, yi_out) = (
+        refs[: 2 + N_STREAMS], refs[2 + N_STREAMS :],
+    )
+    i32 = jnp.int32
+    t = pl.program_id(1).astype(i32)
+    spacing = i32(g + 2 * b)
+
+    @pl.when(t == i32(0))
+    def _():
+        yr_out[:, :] = yr_in[:, :]
+        yi_out[:, :] = yi_in[:, :]
+
+    ti = t.astype(i32)
+    par = lax.rem(ti, i32(2))
+    c0 = i32(n_groups - 1) - lax.div(ti - par, i32(2))
+    u_lo = jnp.minimum(jnp.maximum(i32(0), -c0), i32(max(n_u - n_act4, 0)))
+    base = (c0 + u_lo) * i32(g) + i32(1) + par * i32(b) \
+        + i32(2 * b) * u_lo + i32(fy)
+
+    kmax_i = i32((n - 3) // b if n > 3 else 0)
+    for s in range(N_STREAMS):
+        qref = qws[s]
+
+        def slot(i, carry, qref=qref, s=s):
+            u = u_lo + i32(s * q4) + i
+            j = c0 + u
+            k = par + i32(2) * u
+            a0 = j * i32(g) + k * i32(b)
+            r0 = base + (i32(s * q4) + i) * spacing
+            r0 = jnp.clip(r0, i32(0), i32(rows - P))
+            r0 = pl.multiple_of(r0, 8)
+
+            @pl.when((j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3)))
+            def _():
+                qcat = qref[0, i]            # (P, 2P) = [Q_r | Q_i]
+                q_r = qcat[:, :P]
+                q_i = qcat[:, P:]
+                br = yr_out[pl.ds(r0, P), :]
+                bi = yi_out[pl.ds(r0, P), :]
+                # Karatsuba: 3 MXU dots per slot instead of 4
+                dot = lambda a, x: jnp.dot(
+                    a, x,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                m1 = dot(q_r, br)
+                m2 = dot(q_i, bi)
+                m3 = dot(q_r + q_i, br + bi)
+                yr_out[pl.ds(r0, P), :] = m1 - m2
+                yi_out[pl.ds(r0, P), :] = m3 - m1 - m2
+            return carry
+
+        lax.fori_loop(i32(0), i32(q4), slot, i32(0))
+
+
+@highest_precision
+@functools.partial(
+    jax.jit, static_argnames=("n", "b", "g", "m_tile", "interpret")
+)
+def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
+                           interpret=False):
+    """Planar y <- Q2 y, Mosaic replay (fp32): drop-in for
+    ops/sb2st_planar.apply_q2_planar on the fp32 TPU path.  vt/taut/y
+    are (re, im) pairs; same wave schedule and constraints as
+    apply_q2_pallas, with both y planes VMEM-resident and each active
+    slot a 3-dot Karatsuba window product."""
+    if g is None:
+        g = 3 * b
+    if g % 8 or b % 8:
+        raise ValueError(f"need 8 | g and 8 | b, got g={g}, b={b}")
+    if b + g - 1 > P:
+        raise ValueError(f"l_win={b+g-1} exceeds padded window {P}")
+    y_r, y_i = y
+    if y_r.dtype != jnp.float32:
+        raise TypeError("apply_q2_planar_pallas is fp32-only")
+    geo = _geometry(n, b, g)
+    n_act, n_waves, n_u = geo["n_act"], geo["n_waves"], geo["n_u"]
+    n_groups = geo["n_groups"]
+    n_act4 = -(-n_act // N_STREAMS) * N_STREAMS
+    q4 = n_act4 // N_STREAMS
+
+    fy = 7
+    rows = -(-(fy + n + P + 8) // 8) * 8
+
+    m = y_r.shape[1]
+    mt = min(m_tile, -(-m // 8) * 8)
+    # 4 resident plane buffers (2 planes x in+out) + [Qr|Qi] streams
+    while mt > 64 and rows * mt * 4 * 4 + 8 * q4 * P * 2 * P * 4 > 100 * 2**20:
+        mt //= 2
+    mp = -(-m // mt) * mt
+    zero = jnp.zeros((rows, mp), jnp.float32)
+    yp_r = lax.dynamic_update_slice(zero, y_r, (fy, 0))
+    yp_i = lax.dynamic_update_slice(zero, y_i, (fy, 0))
+
+    with trace_range("apply_q2_planar_pallas_qs"):
+        qw = window_qs_planar(vt, taut, n, b, g)  # (n_waves, n_act4, P, 2P)
+
+    kernel = functools.partial(
+        _replay_kernel_planar, n, b, g, n_groups, n_u, n_act4, q4, fy,
+        rows, n_waves,
+    )
+    y_spec = pl.BlockSpec(
+        (rows, mt),
+        index_map=lambda i, t: (jnp.int32(0), i),
+        memory_space=pltpu.VMEM,
+    )
+    qw_specs = [
+        pl.BlockSpec(
+            (1, q4, P, 2 * P),
+            index_map=lambda i, t: (t, jnp.int32(0), jnp.int32(0),
+                                    jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(N_STREAMS)
+    ]
+    with trace_range("apply_q2_planar_pallas"):
+        out = pl.pallas_call(
+            kernel,
+            grid=(mp // mt, n_waves),
+            in_specs=[y_spec, y_spec] + qw_specs,
+            out_specs=[y_spec, y_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, mp), jnp.float32),
+                jax.ShapeDtypeStruct((rows, mp), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            yp_r, yp_i,
+            *[qw[:, s * q4 : (s + 1) * q4] for s in range(N_STREAMS)],
+        )
+    return (
+        lax.dynamic_slice(out[0], (fy, 0), (n, m)),
+        lax.dynamic_slice(out[1], (fy, 0), (n, m)),
+    )
+
+
+@highest_precision
 @functools.partial(
     jax.jit, static_argnames=("n", "b", "g", "m_tile", "interpret")
 )

@@ -179,3 +179,45 @@ def test_two_stage_planar_end_to_end():
     res = a @ zc - zc * w[None, :]
     assert np.max(np.abs(res)) < 1e-11 * n
     np.testing.assert_allclose(w, np.linalg.eigvalsh(a), rtol=0, atol=1e-11 * n)
+
+
+@pytest.mark.parametrize("n,b", [(96, 8), (784, 16)])
+def test_planar_chase_pallas_matches_xla(n, b):
+    """Mosaic planar chase (interpret mode) vs the XLA planar chase --
+    n=784/b=16 exercises multiple slot groups and the phase plan."""
+    from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_planar_pallas
+
+    rng = np.random.default_rng(5)
+    a = _rand_herm_band(rng, n, b).astype(np.complex64)
+    band_r = dense_to_band(jnp.asarray(a.real.copy(), jnp.float32), b)
+    band_i = dense_to_band(jnp.asarray(a.imag.copy(), jnp.float32), b)
+    d0, (e0r, e0i), vt0, tt0 = bulge_chase_planar(band_r, band_i, b)
+    d1, (e1r, e1i), vt1, tt1 = bulge_chase_planar_pallas(
+        band_r, band_i, b, tb=6, interpret=True
+    )
+    # fp32 drift tolerance (different summation orders across ~3n steps)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=2e-3, atol=2e-3)
+    m0 = np.hypot(np.asarray(e0r), np.asarray(e0i))
+    m1 = np.hypot(np.asarray(e1r), np.asarray(e1i))
+    np.testing.assert_allclose(m1, m0, rtol=2e-3, atol=2e-3)
+    # spectrum check at fp32 tolerance via the phase-normalized tridiag
+    _, ea = phase_normalize(e1r, e1i)
+    t_real = (np.diag(np.asarray(d1))
+              + np.diag(np.asarray(ea), -1) + np.diag(np.asarray(ea), 1))
+    w0 = np.linalg.eigvalsh(a.astype(np.complex128))
+    w1 = np.linalg.eigvalsh(t_real.astype(np.float64))
+    np.testing.assert_allclose(w1, w0, rtol=0, atol=5e-4 * n)
+    # replay the kernel's reflectors: eigvec residual at fp32 scale
+    wz, z = np.linalg.eigh(t_real.astype(np.float64))
+    (p_r, p_i), _ = phase_normalize(e1r, e1i)
+    ph = np.asarray(p_r) + 1j * np.asarray(p_i)
+    dz = (ph[:, None] * z).astype(np.complex64)
+    zr, zi = apply_q2_planar(
+        vt1, tt1,
+        (jnp.asarray(dz.real.copy()), jnp.asarray(dz.imag.copy())),
+        n, b, g=3 * b,
+    )
+    q2dz = np.asarray(zr) + 1j * np.asarray(zi)
+    res = a.astype(np.complex128) @ q2dz - q2dz * wz[None, :]
+    assert np.max(np.abs(res)) < 5e-4 * n

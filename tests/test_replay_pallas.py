@@ -71,3 +71,33 @@ def test_window_qs_orthogonal():
     eye = np.eye(128, dtype=np.float32)
     err = np.abs(np.einsum("uij,uik->ujk", w, w) - eye[None]).max()
     assert err < 1e-4, f"window Q orthogonality {err:.2e}"
+
+
+@pytest.mark.parametrize("n,b,g", [(128, 8, 24), (256, 16, 48)])
+def test_replay_planar_pallas_matches_xla(n, b, g):
+    """Mosaic planar replay (interpret) vs the XLA planar replay."""
+    from eigensolver_gpu_tpu.ops.replay_pallas import apply_q2_planar_pallas
+    from eigensolver_gpu_tpu.ops.sb2st_planar import (
+        apply_q2_planar,
+        bulge_chase_planar,
+    )
+
+    rng = np.random.default_rng(11)
+    t = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = ((t + t.conj().T) / 2).astype(np.complex64)
+    mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+    a = a * mask
+    band_r = dense_to_band(jnp.asarray(a.real.copy(), jnp.float32), b)
+    band_i = dense_to_band(jnp.asarray(a.imag.copy(), jnp.float32), b)
+    d, e, vt, taut = bulge_chase_planar(band_r, band_i, b)
+    y = rng.standard_normal((n, 40)) + 1j * rng.standard_normal((n, 40))
+    yp = (jnp.asarray(y.real.copy(), jnp.float32),
+          jnp.asarray(y.imag.copy(), jnp.float32))
+    zr0, zi0 = apply_q2_planar(vt, taut, yp, n, b, g=g)
+    zr1, zi1 = apply_q2_planar_pallas(
+        vt, taut, yp, n, b, g=g, m_tile=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(zr1), np.asarray(zr0),
+                               rtol=0, atol=2e-4 * n)
+    np.testing.assert_allclose(np.asarray(zi1), np.asarray(zi0),
+                               rtol=0, atol=2e-4 * n)
