@@ -155,6 +155,54 @@ def main():
             atol=1e-3,
         )
 
+    if on("chase_planar"):
+        from eigensolver_gpu_tpu.ops.chase_pallas import (
+            bulge_chase_planar_pallas,
+        )
+        from eigensolver_gpu_tpu.ops.sb2st import dense_to_band
+
+        n, b = 512, 32
+        tr = rng.standard_normal((n, n)).astype(np.float32)
+        ti = rng.standard_normal((n, n)).astype(np.float32)
+        mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+        ar = ((tr + tr.T) / 2) * mask
+        ai = ((ti - ti.T) / 2) * mask
+        br_ = dense_to_band(jnp.asarray(ar, jnp.float32), b)
+        bi_ = dense_to_band(jnp.asarray(ai, jnp.float32), b)
+        ok &= check(
+            "bulge_chase_planar_pl",
+            lambda: bulge_chase_planar_pallas(br_, bi_, b),
+            lambda: bulge_chase_planar_pallas(br_, bi_, b, interpret=True),
+            atol=5e-3,
+        )
+
+    if on("replay_planar"):
+        from eigensolver_gpu_tpu.ops.replay_pallas import (
+            apply_q2_planar_pallas,
+        )
+        from eigensolver_gpu_tpu.ops.sb2st import dense_to_band
+        from eigensolver_gpu_tpu.ops.sb2st_planar import bulge_chase_planar
+
+        n, b = 512, 32
+        tr = rng.standard_normal((n, n)).astype(np.float32)
+        ti = rng.standard_normal((n, n)).astype(np.float32)
+        mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+        ar = ((tr + tr.T) / 2) * mask
+        ai = ((ti - ti.T) / 2) * mask
+        br_ = dense_to_band(jnp.asarray(ar, jnp.float32), b)
+        bi_ = dense_to_band(jnp.asarray(ai, jnp.float32), b)
+        d, e, vt, taut = bulge_chase_planar(br_, bi_, b)
+        yr = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+        yi = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+        ok &= check(
+            "apply_q2_planar_pl",
+            jax.jit(lambda: apply_q2_planar_pallas(
+                vt, taut, (yr, yi), n, b, g=96, m_tile=128)),
+            lambda: apply_q2_planar_pallas(
+                vt, taut, (yr, yi), n, b, g=96, m_tile=128, interpret=True),
+            atol=1e-3,
+        )
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
