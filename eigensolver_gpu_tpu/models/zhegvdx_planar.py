@@ -101,6 +101,8 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             cfg=SolverConfig(
                 nb_tridiag=cfg.nb_tridiag, nb_back=cfg.nb_back,
                 stedc_leaf=cfg.stedc_leaf, use_pallas=cfg.use_pallas,
+                tridiag_mode=cfg.tridiag_mode, band=cfg.band,
+                replay_g=cfg.replay_g,
             ),
         )
         x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))

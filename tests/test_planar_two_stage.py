@@ -221,3 +221,33 @@ def test_planar_chase_pallas_matches_xla(n, b):
     q2dz = np.asarray(zr) + 1j * np.asarray(zi)
     res = a.astype(np.complex128) @ q2dz - q2dz * wz[None, :]
     assert np.max(np.abs(res)) < 5e-4 * n
+
+
+def test_zhegvdx_planar_mixed_two_stage():
+    """Mixed (fp32 pipeline + fp64 refinement) planar driver with the
+    two-stage reduction threaded into the INNER fp32 config (round-4
+    wiring: the flagship headline path)."""
+    import scipy.linalg
+
+    from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar
+    from eigensolver_gpu_tpu.utils.config import SolverConfig
+
+    n = 96
+    rng = np.random.default_rng(6)
+    a = _rand_herm(rng, n)
+    t = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    bmat = t @ t.conj().T / n + np.eye(n)
+    cfg = SolverConfig(compute_dtype="float32", refine_iters=3,
+                       tridiag_mode="two", band=8, stedc_leaf=16)
+    w, zr, zi, info = zhegvdx_planar(
+        jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()),
+        jnp.asarray(bmat.real.copy()), jnp.asarray(bmat.imag.copy()),
+        il=1, iu=24, cfg=cfg,
+    )
+    assert int(info) == 0
+    w_ref = scipy.linalg.eigh(a, bmat, eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(w), w_ref[:24], rtol=0,
+                               atol=1e-10 * n)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    res = np.max(np.abs(a @ z - bmat @ z * np.asarray(w)[None, :]))
+    assert res < 1e-10 * n
