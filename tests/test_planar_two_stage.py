@@ -251,3 +251,75 @@ def test_zhegvdx_planar_mixed_two_stage():
     z = np.asarray(zr) + 1j * np.asarray(zi)
     res = np.max(np.abs(a @ z - bmat @ z * np.asarray(w)[None, :]))
     assert res < 1e-10 * n
+
+
+def test_psbrd_already_banded_phase_only():
+    """A matrix already within the band: every QL column has a zero
+    tail, so each reflector is at most a PIVOT PHASE (zlarfg rotates a
+    complex pivot to real beta even with a zero tail).  The reduction
+    must then act as a diagonal unitary: |ab| == |a| entrywise, and the
+    factors must still reconstruct a = Q1 ab Q1^H."""
+    n, b = 96, 8
+    rng = np.random.default_rng(7)
+    a = _rand_herm_band(rng, n, b)
+    (abr, abi), vs, ts = psbrd(*_planar(a), band=b)
+    ab = np.asarray(abr) + 1j * np.asarray(abi)
+    np.testing.assert_allclose(np.abs(ab), np.abs(a), rtol=0, atol=1e-12 * n)
+    # reflector vectors reduce to the pivot alone: zero tails everywhere
+    assert np.max(np.abs(np.asarray(vs[0])) * (np.abs(np.asarray(vs[0])) != 1.0)) < 1e-12
+    eye = (jnp.eye(n, dtype=abr.dtype), jnp.zeros((n, n), abr.dtype))
+    q1r, q1i = apply_q1_planar(vs, ts, eye)
+    q1 = np.asarray(q1r) + 1j * np.asarray(q1i)
+    # Q1 is a diagonal unitary here
+    assert np.max(np.abs(q1 - np.diag(np.diag(q1)))) < 1e-12 * n
+    assert np.max(np.abs(q1 @ ab @ q1.conj().T - a)) < 1e-11 * n
+
+
+def test_planar_chase_decoupled_blocks():
+    """Zero subdiagonal entries decouple the band into independent
+    blocks; phase_normalize must carry |e|=0 through (p stays constant)
+    and the spectrum must still match."""
+    n, b = 64, 4
+    rng = np.random.default_rng(8)
+    a = _rand_herm_band(rng, n, b)
+    # decouple at rows 24..24+b and 40..40+b (zero the coupling block)
+    for cut in (24, 40):
+        a[cut : cut + b + 1, max(cut - b - 1, 0) : cut] = 0
+        a[max(cut - b - 1, 0) : cut, cut : cut + b + 1] = 0
+    a = np.ascontiguousarray((a + a.conj().T) / 2)
+    band_r = dense_to_band(jnp.asarray(a.real.copy()), b)
+    band_i = dense_to_band(jnp.asarray(a.imag.copy()), b)
+    d, (e_r, e_i), vt, taut = bulge_chase_planar(band_r, band_i, b)
+    (p_r, p_i), e_abs = phase_normalize(e_r, e_i)
+    t_real = (np.diag(np.asarray(d))
+              + np.diag(np.asarray(e_abs), -1)
+              + np.diag(np.asarray(e_abs), 1))
+    np.testing.assert_allclose(
+        np.linalg.eigvalsh(t_real), np.linalg.eigvalsh(a),
+        rtol=0, atol=1e-11 * n,
+    )
+    # D stays unit-modulus everywhere
+    mod = np.asarray(p_r) ** 2 + np.asarray(p_i) ** 2
+    np.testing.assert_allclose(mod, 1.0, rtol=0, atol=1e-13)
+
+
+def test_two_stage_planar_clustered_spectrum():
+    """QE-shaped clustered spectrum through the full two-stage driver."""
+    import scipy.linalg
+
+    from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar
+    from eigensolver_gpu_tpu.utils.config import SolverConfig
+    from eigensolver_gpu_tpu.utils.testing import qe_style_pair
+
+    n = 96
+    a, bmat = qe_style_pair(n, seed=9)
+    cfg = SolverConfig(tridiag_mode="two", band=8, stedc_leaf=16)
+    w, zr, zi, info = zhegvdx_planar(
+        jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()),
+        jnp.asarray(bmat.real.copy()), jnp.asarray(bmat.imag.copy()),
+        il=1, iu=n // 4, cfg=cfg,
+    )
+    assert int(info) == 0
+    w_ref = scipy.linalg.eigh(a, bmat, eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(w), w_ref[: n // 4],
+                               rtol=0, atol=1e-10 * n)
