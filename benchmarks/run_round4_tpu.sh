@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Round-4 TPU measurement queue -- run once when the tunnel is up.
+# Each step logs to /tmp/r4_<name>.log; steps are ordered so the most
+# informative results land first if the tunnel drops again.
+set -u
+cd "$(dirname "$0")/.."
+run() {
+  local name="$1"; shift
+  echo "=== $name: $* ==="
+  timeout "${STEP_TIMEOUT:-3000}" "$@" > "/tmp/r4_$name.log" 2>&1
+  echo "--- $name exit $? (tail):"
+  tail -6 "/tmp/r4_$name.log"
+}
+
+# 1. Mosaic toolchain check (validates the strided roll + new kernels)
+run smoke python benchmarks/kernel_smoke.py
+
+# 2. chase cost: strided-roll gain vs the round-3 115.7/352.3 ms
+run chase4096 python benchmarks/chase_micro.py 4096 full,nomath,noshear,nosubroll,nowrite
+run chase8192 python benchmarks/chase_micro.py 8192 full
+
+# 3. two-stage totals (real): crossover re-derivation
+run ts4096 python benchmarks/two_stage.py 4096
+run ts8192 python benchmarks/two_stage.py 8192
+
+# 4. planar two-stage vs the 549 ms one-stage hetrd wall
+run tsp4096 python benchmarks/two_stage_planar.py 4096
+
+# 5. headline pre-warm + record (honest flop model, A100 pin line)
+run bench python bench.py
+
+# 6. configs 1-2 (real mixed)
+run cfg1 env EIGSOLVE_BENCH_N=1024 EIGSOLVE_BENCH_IU=64 EIGSOLVE_BENCH_DTYPE=float64 EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+run cfg2 env EIGSOLVE_BENCH_N=4096 EIGSOLVE_BENCH_IU=512 EIGSOLVE_BENCH_DTYPE=float64 EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
+# 7. QE replay fixture through the 4-way harness + QE-spectrum headline
+run qe512 python benchmarks/compare.py 512 --dtype z --cases zpl --input benchmarks/qe_n512.npz
+run qe4096 env EIGSOLVE_BENCH_SPECTRUM=qe EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
+echo "=== queue done ==="
