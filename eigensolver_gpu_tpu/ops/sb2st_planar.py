@@ -234,7 +234,11 @@ def phase_normalize(e_r, e_i):
         return ar * br - ai * bi, ar * bi + ai * br
 
     p_r, p_i = lax.associative_scan(cmul, (seq_r, seq_i))
-    return (p_r, p_i), mag
+    # the fp32 cumulative product drifts off unit modulus by
+    # ~sqrt(n)*eps (it scales eigenvector norms if left in): renormalize
+    pm = jnp.sqrt(p_r * p_r + p_i * p_i)
+    pm = jnp.where(pm == 0, 1.0, pm)
+    return (p_r / pm, p_i / pm), mag
 
 
 def _ptriu_inv_doubling(tr, ti, base=16):
