@@ -17,6 +17,13 @@ Environment knobs:
   EIGSOLVE_BENCH_IU     upper eigenpair index (default n//4)
   EIGSOLVE_BENCH_DTYPE  'complex128' (default) or 'float64'
   EIGSOLVE_BENCH_SKIP_CPU  skip the scipy baseline (vs_baseline = 0)
+  EIGSOLVE_BENCH_SWEEPS  refinement sweeps for mode=mp (default 3 =
+                         2 coarse fp32 + 1 fp64; defect-gated escalation
+                         still guards the residual contract)
+  EIGSOLVE_BENCH_PSOLVE  planar_solve_mode for the planar fp32 pipeline
+                         ('blockinv' default | 'trinv' | 'subst')
+  EIGSOLVE_BENCH_SYGST   sygst_mode for the real driver ('full' default
+                         auto-swaps; 'trinv' = full-inverse phases 2+4)
 """
 
 import json
@@ -103,12 +110,19 @@ def main():
     # sweeps are nearly free and the single fp64 sweep halves what used
     # to be 70% of the wall time (benchmarks/stages_planar.py).
     use_pallas = bool(os.environ.get("EIGSOLVE_BENCH_PALLAS"))
+    sweeps = int(os.environ.get("EIGSOLVE_BENCH_SWEEPS", "3"))
+    psolve = os.environ.get("EIGSOLVE_BENCH_PSOLVE", "blockinv")
+    sygst = os.environ.get("EIGSOLVE_BENCH_SYGST", "full")
     cfg = (
         SolverConfig(
-            compute_dtype="float32", refine_iters=3, use_pallas=use_pallas
+            compute_dtype="float32", refine_iters=sweeps,
+            use_pallas=use_pallas, planar_solve_mode=psolve,
+            sygst_mode=sygst,
         )
         if mode == "mp"
-        else SolverConfig(use_pallas=use_pallas)
+        else SolverConfig(
+            use_pallas=use_pallas, planar_solve_mode=psolve, sygst_mode=sygst
+        )
     )
     log(f"bench: n={n} dtype={dtype} mode={mode} il=1 iu={iu} devices={jax.devices()}")
 

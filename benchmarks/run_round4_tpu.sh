@@ -25,6 +25,7 @@ run ts8192 python benchmarks/two_stage.py 8192
 
 # 4. planar two-stage vs the 549 ms one-stage hetrd wall
 run tsp4096 python benchmarks/two_stage_planar.py 4096
+run tsp8192 python benchmarks/two_stage_planar.py 8192
 
 # 5. headline pre-warm + record (honest flop model, A100 pin line)
 run bench python bench.py
@@ -36,5 +37,21 @@ run cfg2 env EIGSOLVE_BENCH_N=4096 EIGSOLVE_BENCH_IU=512 EIGSOLVE_BENCH_DTYPE=fl
 # 7. QE replay fixture through the 4-way harness + QE-spectrum headline
 run qe512 python benchmarks/compare.py 512 --dtype z --cases zpl --input benchmarks/qe_n512.npz
 run qe4096 env EIGSOLVE_BENCH_SPECTRUM=qe EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
+# 7b. planar-solve A/B: full inv(L) reused across phases 2/4 as gemms
+#     (re-measure of the round-2 negative result -- the pipeline changed)
+run trinv env EIGSOLVE_BENCH_PSOLVE=trinv EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
+# 7c. real-driver trinv A/B at config 2 (vs the 370.4 ms sygst_inv run)
+run cfg2trinv env EIGSOLVE_BENCH_N=4096 EIGSOLVE_BENCH_IU=512 EIGSOLVE_BENCH_DTYPE=float64 EIGSOLVE_BENCH_SYGST=trinv EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
+# 8. headline refinement A/B: 2 sweeps (1 fp32 + 1 fp64) vs default 3 --
+#    checks whether a coarse sweep can be dropped without moving the
+#    residual off ~1e-17 (escalation gate still active)
+run sweep2 env EIGSOLVE_BENCH_SWEEPS=2 EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
+# 9. config-1 device-time attribution: amortize the ~28 ms call floor
+#    with k=8 in-jit stage loops (VERDICT weak #7)
+run stages1024 env EIGSOLVE_STAGES_LOOPK=8 python benchmarks/stages_mixed.py 1024 64
 
 echo "=== queue done ==="

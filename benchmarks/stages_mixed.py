@@ -42,6 +42,31 @@ from eigensolver_gpu_tpu.utils.precision import highest_precision  # noqa: E402
 from eigensolver_gpu_tpu.utils.testing import random_spd_pair  # noqa: E402
 
 
+# EIGSOLVE_STAGES_LOOPK=k (k > 1) additionally times a fori_loop of k
+# stage evaluations inside ONE jit call, amortizing the tunnel's ~28 ms
+# per-call floor so small-n DEVICE time is attributable (ROADMAP round-4
+# item: the config-1 ~24 ms device budget is unattributed).  The loop
+# body perturbs the first argument by i*1e-30 -- numerically a no-op,
+# but loop-variant so XLA cannot hoist or CSE the k evaluations.
+LOOPK = int(os.environ.get("EIGSOLVE_STAGES_LOOPK", "0"))
+_FLOOR_MS = None
+
+
+def _call_floor_ms():
+    """Measured host->device->host round-trip floor for a noop jit."""
+    global _FLOOR_MS
+    if _FLOOR_MS is None:
+        noop = jax.jit(lambda x: x + 1.0)
+        np.asarray(noop(jnp.float32(0)))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(noop(jnp.float32(0)))
+            ts.append(time.perf_counter() - t0)
+        _FLOOR_MS = min(ts) * 1e3
+    return _FLOOR_MS
+
+
 def timeit(name, f, *args, rep=3):
     f = highest_precision(f)
     g = jax.jit(f)
@@ -49,7 +74,7 @@ def timeit(name, f, *args, rep=3):
     def scalar(*a):
         out = f(*a)
         leaves = jax.tree.leaves(out)
-        return sum(jnp.sum(jnp.abs(x)) for x in leaves)
+        return sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) for x in leaves)
 
     gs = jax.jit(scalar)
     t0 = time.perf_counter()
@@ -60,7 +85,29 @@ def timeit(name, f, *args, rep=3):
         t0 = time.perf_counter()
         np.asarray(gs(*args))
         ts.append(time.perf_counter() - t0)
-    print(f"  {name:12s}: {min(ts)*1e3:9.1f} ms  (compile {tc:.1f}s)", flush=True)
+    line = f"  {name:12s}: {min(ts)*1e3:9.1f} ms  (compile {tc:.1f}s)"
+    if LOOPK > 1:
+        k = LOOPK
+        x0 = args[0]
+        rest = args[1:]
+
+        def looped(x0, *rest):
+            def body(i, acc):
+                xp = x0 + (i.astype(jnp.float32) * 1e-30).astype(x0.dtype)
+                return acc + scalar(xp, *rest)
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        gl = jax.jit(looped)
+        np.asarray(gl(x0, *rest))  # compile
+        tl = []
+        for _ in range(rep):
+            t0 = time.perf_counter()
+            np.asarray(gl(x0, *rest))
+            tl.append(time.perf_counter() - t0)
+        dev_ms = (min(tl) * 1e3 - _call_floor_ms()) / k
+        line += f"  device ~{dev_ms:7.2f} ms (loop k={k})"
+    print(line, flush=True)
     return g(*args)  # device-resident outputs for chaining
 
 

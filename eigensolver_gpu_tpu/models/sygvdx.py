@@ -120,6 +120,31 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
     # static-sliced inverse-diagonal solves instead -- partitionable
     # gemms, no full-width solve temps (ops/sygst.sygst_inv).
     sygst_mode = cfg.sygst_mode
+    if sygst_mode == "trinv":
+        # Full block-doubled inv(U) reused for phases 2 AND 4 (the
+        # sharded path's SPMD-first scheme, parallel/sharded.py:84-104,
+        # brought to the single chip as an A/B against 'inv'):
+        # log-depth partitionable gemms, no sequential solve steps at
+        # all.  Forward error ~eps * kappa(U) -- fp32 pipelines only
+        # (the fp64 refinement absorbs it); falls back when n is not
+        # 512 * 2^k or the dtype carries the accuracy contract.
+        trinv_ok = (
+            a.dtype in (jnp.float32, jnp.complex64)
+            and n % 512 == 0
+            and (n // 512) & (n // 512 - 1) == 0
+        )
+        if trinv_ok:
+            from eigensolver_gpu_tpu.ops.trsm import trinv_upper_full
+
+            with trace_range("sygvdx"):
+                u, info = cholesky_upper(b)
+                inv = trinv_upper_full(u, base=512)
+                c = jnp.conj(inv.T) @ (a @ inv)
+                c = (c + jnp.conj(c.T)) / 2
+                w, y = syevdx(c, il=il, iu=iu, cfg=cfg)
+                z = inv @ y
+                return SygvdxResult(w=w, z=z, info=info)
+        sygst_mode = "full"
     if sygst_mode == "full":
         # 'inv' is only valid when the batched block inversion can run:
         # nb must divide n and be base*2^j with base=16 (ops/trsm.py

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from eigensolver_gpu_tpu.ops.planar import (
     pcholesky_lower,
     pH,
+    pmatmul,
     ptrsm_left_lower,
 )
 from eigensolver_gpu_tpu.ops.stedc import stedc
@@ -103,6 +104,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
                 stedc_leaf=cfg.stedc_leaf, use_pallas=cfg.use_pallas,
                 tridiag_mode=cfg.tridiag_mode, band=cfg.band,
                 replay_g=cfg.replay_g,
+                planar_solve_mode=cfg.planar_solve_mode,
             ),
         )
         x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))
@@ -137,7 +139,13 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
     # headline) -- the inverse's concat-assembled temporaries break
     # XLA's cross-stage scheduling. Do not re-wire without measuring
     # the full pipeline.
-    if ar.dtype == jnp.float32:
+    trinv_ok = (
+        cfg.planar_solve_mode == "trinv"
+        and ar.dtype == jnp.float32
+        and n % 128 == 0
+        and (n // 128) & (n // 128 - 1) == 0
+    )
+    if ar.dtype == jnp.float32 and cfg.planar_solve_mode != "subst":
         from eigensolver_gpu_tpu.ops.planar import ptrsm_left_lower_inv as _solve_l
     else:
         _solve_l = ptrsm_left_lower
@@ -150,6 +158,17 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
 
     with trace_range("zhegvdx_planar"):
         l, info = pcholesky_lower((br, bi), nb=nb_chol)  # PHASE 1
+        if trinv_ok:
+            # 'trinv' A/B (queued re-measure of the round-2 negative
+            # result above -- the pipeline around it changed): ONE full
+            # block-doubled planar inv(L) (ops/planar.ptrinv_lower)
+            # turns all three solves into planar Karatsuba gemms.
+            from eigensolver_gpu_tpu.ops.planar import ptrinv_lower
+
+            linv = ptrinv_lower(l)
+            _solve_l = lambda l_, rhs, nb: pmatmul(linv, rhs)
+            # phase 4 solves L^H x = y, so x = inv(L)^H y
+            _solve_u = lambda u_, rhs, nb: pmatmul(pH(linv), rhs)
         # PHASE 2: C = L^{-1} A L^{-H} = L^{-1} (L^{-1} A^H)^H
         x = _solve_l(l, (ar, ai), nb=nb_chol)
         y = _solve_l(l, pH(x), nb=nb_chol)

@@ -35,7 +35,10 @@ class SolverConfig:
         (auto-swapped per dtype/size: fp32 pipelines take 'inv', fp64 at
         n >= 8192 takes 'blocked'); 'blocked' = reference-style blocked
         recurrence; 'inv' = inverse-diagonal blocked solves
-        (ops/sygst.sygst_inv, fp32 pipelines only).
+        (ops/sygst.sygst_inv, fp32 pipelines only); 'trinv' = ONE full
+        block-doubled inv(U) reused by phases 2 and 4 as plain gemms
+        (the sharded path's scheme; fp32 pipelines with n = 512 * 2^k
+        only, falls back to 'full' otherwise).
       compute_dtype: None = inputs' dtype end to end; 'float32' = run the
         tridiagonalization in fp32 and refine results in fp64
         (BASELINE.md config 5 fast path).
@@ -70,6 +73,14 @@ class SolverConfig:
         whose first-order coupling exceeds the residual contract, more
         sweeps run automatically (replaces the manual refine_iters=4
         escape hatch for tight-cluster spectra). 0 disables.
+      planar_solve_mode: triangular-solve scheme for the planar fp32
+        pipeline's phases 2/4 (fp64 always substitutes).  'blockinv' =
+        batched-inverted diagonal blocks + ~30-step blocked substitution
+        (ops/planar.ptrsm_left_lower_inv, the round-2 measured best);
+        'trinv' = ONE full block-doubled inv(L) reused by all three
+        solves as planar gemms (faster standalone, measured 40 ms
+        slower end-to-end in the ROUND-2 pipeline -- re-measure before
+        defaulting); 'subst' = pure blocked substitution.
     """
 
     nb_sygst: int = 512
@@ -87,11 +98,16 @@ class SolverConfig:
     replay_g: int = 0
     refine_margin: int = 32
     refine_extra_max: int = 2
+    planar_solve_mode: str = "blockinv"
 
     def __post_init__(self):
+        if self.planar_solve_mode not in ("blockinv", "trinv", "subst"):
+            raise ValueError(
+                f"unknown planar_solve_mode {self.planar_solve_mode!r}"
+            )
         if self.stedc_backend not in ("dc", "xla"):
             raise ValueError(f"unknown stedc_backend {self.stedc_backend!r}")
-        if self.sygst_mode not in ("blocked", "full", "inv"):
+        if self.sygst_mode not in ("blocked", "full", "inv", "trinv"):
             raise ValueError(f"unknown sygst_mode {self.sygst_mode!r}")
         if self.tridiag_mode not in ("one", "two", "auto"):
             raise ValueError(f"unknown tridiag_mode {self.tridiag_mode!r}")

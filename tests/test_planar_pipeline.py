@@ -113,6 +113,41 @@ def test_zhegvdx_planar_mixed_precision():
     assert orthonormality_error(z, b) < 1e-9 * n
 
 
+def test_zhegvdx_planar_mixed_trinv():
+    """planar_solve_mode='trinv': one full block-doubled inv(L) replaces
+    all three fp32 triangular solves; the fp64 refinement must absorb
+    the explicit-inverse forward error to the same contract."""
+    n = 256  # trinv requires n = 128 * 2^k
+    a, b = random_hpd_pair(n, seed=97)
+    cfg = SolverConfig(
+        compute_dtype="float32", refine_iters=2, planar_solve_mode="trinv"
+    )
+    w, zr, zi, info = zhegvdx_planar_host(a, b, il=1, iu=64, cfg=cfg)
+    assert int(info) == 0
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    w = np.asarray(w)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(w, w_ref[:64], atol=1e-9 * n)
+    assert ge_residual(a, b, w, z) < 1e-12
+    assert orthonormality_error(z, b) < 1e-9 * n
+
+
+def test_zhegvdx_planar_trinv_pure_fp32():
+    """'trinv' on a pure-fp32 planar solve (no refinement): forward
+    error ~eps32 * kappa -- same contract class as 'blockinv'."""
+    n = 128
+    a, b = random_hpd_pair(n, seed=98)
+    a32 = a.astype(np.complex64)
+    b32 = b.astype(np.complex64)
+    cfg = SolverConfig(planar_solve_mode="trinv")
+    w, zr, zi, info = zhegvdx_planar_host(a32, b32, il=1, iu=n, cfg=cfg)
+    assert int(info) == 0
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert np.allclose(np.asarray(w), w_ref, atol=5e-3 * n)
+    assert ge_residual(a, b, np.asarray(w), z) < 1e-4
+
+
 def test_zhegvdx_planar_batched_chunked():
     from eigensolver_gpu_tpu.models.zhegvdx_planar import zhegvdx_planar_batched
 

@@ -120,6 +120,33 @@ def test_dsygvdx_two_stage(n, il, iu):
     _check_generalized(a, b, w, z, il, iu)
 
 
+def test_dsygvdx_mixed_trinv():
+    """sygst_mode='trinv': one full block-doubled inv(U) serves phases 2
+    and 4 as plain gemms on the fp32 inner pipeline; the fp64 refinement
+    must absorb the eps32 * kappa(U) forward error."""
+    n = 512  # trinv requires n = 512 * 2^k
+    a, b = random_spd_pair(n, seed=18)
+    cfg = SolverConfig(
+        compute_dtype="float32", refine_iters=2, sygst_mode="trinv"
+    )
+    w, z, info = dsygvdx(a, b, il=1, iu=128, cfg=cfg)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, 1, 128)
+
+
+def test_dsygvdx_trinv_fallback_shape():
+    """Incompatible n (not 512 * 2^k) must fall back to the 'full'
+    auto-dispatch, not raise."""
+    n = 192
+    a, b = random_spd_pair(n, seed=19)
+    cfg = SolverConfig(
+        compute_dtype="float32", refine_iters=2, sygst_mode="trinv"
+    )
+    w, z, info = dsygvdx(a, b, il=1, iu=48, cfg=cfg)
+    assert int(info) == 0
+    _check_generalized(a, b, w, z, 1, 48)
+
+
 def test_syevdx_two_stage_mixed():
     """Two-stage reduction on the fp32+refinement path."""
     n = 160
