@@ -54,4 +54,8 @@ run sweep2 env EIGSOLVE_BENCH_SWEEPS=2 EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
 #    with k=8 in-jit stage loops (VERDICT weak #7)
 run stages1024 env EIGSOLVE_STAGES_LOOPK=8 python benchmarks/stages_mixed.py 1024 64
 
+# 10. headline per-stage re-profile: driver-true solve forms (block-inv),
+#     trinv build/gemm rows, floor-amortized device times
+run stagesplanar env EIGSOLVE_STAGES_LOOPK=4 python benchmarks/stages_planar.py 4096
+
 echo "=== queue done ==="

@@ -27,8 +27,6 @@ import jax.numpy as jnp  # noqa: E402
 from eigensolver_gpu_tpu.ops.planar import (  # noqa: E402
     pcholesky_lower,
     pH,
-    ptrsm_left_lower,
-    ptrsm_left_upper,
 )
 from eigensolver_gpu_tpu.ops.refine_planar import refine_gevp_planar  # noqa: E402
 from eigensolver_gpu_tpu.ops.stedc import stedc  # noqa: E402
@@ -40,10 +38,32 @@ from eigensolver_gpu_tpu.utils.testing import random_hpd_pair  # noqa: E402
 from eigensolver_gpu_tpu.utils.roofline import format_row  # noqa: E402
 
 
+# EIGSOLVE_STAGES_LOOPK=k (k > 1): also time a k-iteration in-jit loop
+# of each stage, amortizing the tunnel's ~28 ms per-call floor (same
+# scheme as stages_mixed.py; body perturbs arg 0 by i*1e-30 so XLA
+# cannot hoist the evaluations).
+LOOPK = int(os.environ.get("EIGSOLVE_STAGES_LOOPK", "0"))
+_FLOOR_MS = None
+
+
+def _call_floor_ms():
+    global _FLOOR_MS
+    if _FLOOR_MS is None:
+        noop = jax.jit(lambda x: x + 1.0)
+        np.asarray(noop(jnp.float32(0)))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(noop(jnp.float32(0)))
+            ts.append(time.perf_counter() - t0)
+        _FLOOR_MS = min(ts) * 1e3
+    return _FLOOR_MS
+
+
 def timeit(name, f, *args, rep=3, flops=0.0, prec="f32", bytes_hbm=0.0):
     def scalar(*a):
         out = f(*a)
-        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(out))
+        return sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) for x in jax.tree.leaves(out))
 
     gs = jax.jit(scalar)
     t0 = time.perf_counter()
@@ -55,11 +75,32 @@ def timeit(name, f, *args, rep=3, flops=0.0, prec="f32", bytes_hbm=0.0):
         np.asarray(gs(*args))
         ts.append(time.perf_counter() - t0)
     ms = min(ts) * 1e3
-    print(
+    line = (
         format_row(name, ms, flops=flops, prec=prec, bytes_hbm=bytes_hbm)
-        + f"  (compile {tc:.1f}s)",
-        flush=True,
+        + f"  (compile {tc:.1f}s)"
     )
+    if LOOPK > 1:
+        from jax import lax
+
+        k = LOOPK
+        x0, rest = args[0], args[1:]
+
+        def looped(x0, *rest):
+            def body(i, acc):
+                xp = x0 + (i.astype(jnp.float32) * 1e-30).astype(x0.dtype)
+                return acc + scalar(xp, *rest)
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        gl = jax.jit(looped)
+        np.asarray(gl(x0, *rest))
+        tl = []
+        for _ in range(rep):
+            t0 = time.perf_counter()
+            np.asarray(gl(x0, *rest))
+            tl.append(time.perf_counter() - t0)
+        line += f"  device ~{(min(tl)*1e3 - _call_floor_ms())/k:7.2f} ms (k={k})"
+    print(line, flush=True)
     return jax.jit(f)(*args)
 
 
@@ -77,10 +118,24 @@ def main():
     n3 = float(n) ** 3
     l, info = timeit("pcholesky f32", lambda b0, b1: pcholesky_lower((b0, b1), nb=128), br, bi,
                      flops=4 * n3 / 3)
-    x = timeit("ptrsm1 f32", lambda l0, l1, a0, a1: ptrsm_left_lower((l0, l1), (a0, a1), nb=128), *l, ar, ai,
+    # the fp32 driver path solves with the block-inverted form
+    # (models/zhegvdx_planar.py `_solve_l`), so time THAT; the 'trinv'
+    # alternative (one full inverse + gemms) is timed per stage below.
+    from eigensolver_gpu_tpu.ops.planar import (
+        pmatmul,
+        ptrinv_lower,
+        ptrsm_left_lower_inv,
+    )
+
+    x = timeit("ptrsm1 f32", lambda l0, l1, a0, a1: ptrsm_left_lower_inv((l0, l1), (a0, a1), nb=128), *l, ar, ai,
                flops=4 * n3)
-    y = timeit("ptrsm2 f32", lambda l0, l1, x0, x1: ptrsm_left_lower((l0, l1), pH((x0, x1)), nb=128), *l, *x,
+    y = timeit("ptrsm2 f32", lambda l0, l1, x0, x1: ptrsm_left_lower_inv((l0, l1), pH((x0, x1)), nb=128), *l, *x,
                flops=4 * n3)
+    if n % 128 == 0 and (n // 128) & (n // 128 - 1) == 0:
+        linv = timeit("ptrinv bld", lambda l0, l1: ptrinv_lower((l0, l1)), *l,
+                      flops=4 * n3 / 3)
+        timeit("trinv gemm", lambda i0, i1, a0, a1: pmatmul((i0, i1), (a0, a1)),
+               *linv, ar, ai, flops=6 * n3)
     cr, ci = pH(y)
     cr = (cr + cr.T) / 2
     ci = (ci - ci.T) / 2
@@ -101,12 +156,16 @@ def main():
         pr, pi, tr, ti, z0,
         flops=16 * n3,
     )
-    zz = timeit(
-        "ptrsm3 f32",
-        lambda l0, l1, y0, y1: ptrsm_left_upper(pH((l0, l1)), (y0, y1), nb=128),
-        *l, *yv,
-        flops=4 * n3,
-    )
+    def _solve_u_inv(l0, l1, y0, y1):
+        u0, u1 = pH((l0, l1))
+        fl = lambda mm: jnp.flip(mm, axis=(0, 1))
+        flv = lambda mm: jnp.flip(mm, axis=0)
+        x0, x1 = ptrsm_left_lower_inv(
+            (fl(u0), fl(u1)), (flv(y0), flv(y1)), nb=128
+        )
+        return flv(x0), flv(x1)
+
+    zz = timeit("ptrsm3 f32", _solve_u_inv, *l, *yv, flops=4 * n3)
     a64 = (jnp.asarray(np.ascontiguousarray(a_h.real)), jnp.asarray(np.ascontiguousarray(a_h.imag)))
     b64 = (jnp.asarray(np.ascontiguousarray(b_h.real)), jnp.asarray(np.ascontiguousarray(b_h.imag)))
     x64 = (zz[0].astype(jnp.float64), zz[1].astype(jnp.float64))

@@ -85,9 +85,10 @@ def sygvdx(a, b, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
         inner = SolverConfig(
             nb_sygst=cfg.nb_sygst, nb_tridiag=cfg.nb_tridiag,
             nb_back=cfg.nb_back, stedc_leaf=cfg.stedc_leaf,
+            stedc_backend=cfg.stedc_backend,
             sygst_mode=cfg.sygst_mode, use_pallas=cfg.use_pallas,
             tridiag_mode=cfg.tridiag_mode, band=cfg.band,
-            two_stage_min_n=cfg.two_stage_min_n,
+            two_stage_min_n=cfg.two_stage_min_n, replay_g=cfg.replay_g,
         )
         w32, z32, info = sygvdx(
             a.astype(jnp.float32), b.astype(jnp.float32), il=1, iu=n, cfg=inner

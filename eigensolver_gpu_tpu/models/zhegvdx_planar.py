@@ -101,7 +101,9 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             f32(ar), f32(ai), f32(br), f32(bi), il=1, iu=n,
             cfg=SolverConfig(
                 nb_tridiag=cfg.nb_tridiag, nb_back=cfg.nb_back,
-                stedc_leaf=cfg.stedc_leaf, use_pallas=cfg.use_pallas,
+                stedc_leaf=cfg.stedc_leaf,
+                stedc_backend=cfg.stedc_backend,
+                use_pallas=cfg.use_pallas,
                 tridiag_mode=cfg.tridiag_mode, band=cfg.band,
                 replay_g=cfg.replay_g,
                 planar_solve_mode=cfg.planar_solve_mode,

@@ -57,6 +57,7 @@ def _sharded_step(a, b, mesh, il, iu, cfg):
         inner = SolverConfig(
             nb_sygst=cfg.nb_sygst, nb_tridiag=cfg.nb_tridiag,
             nb_back=cfg.nb_back, stedc_leaf=cfg.stedc_leaf,
+            stedc_backend=cfg.stedc_backend,
             sygst_mode=cfg.sygst_mode, use_pallas=cfg.use_pallas,
             tridiag_mode=cfg.tridiag_mode, band=cfg.band,
             two_stage_min_n=cfg.two_stage_min_n, replay_g=cfg.replay_g,
