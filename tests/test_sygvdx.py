@@ -134,6 +134,41 @@ def test_dsygvdx_mixed_trinv():
     _check_generalized(a, b, w, z, 1, 128)
 
 
+def test_dsygvdx_mixed_trinv_illconditioned_b():
+    """trinv's explicit-inverse forward error is ~eps32 * kappa(U);
+    with kappa(B) ~ 1e6 (kappa(U) ~ 1e3) the fp64 refinement plus the
+    defect-gated escalation must still deliver the fp64 contract."""
+    n = 512
+    rng = np.random.default_rng(20)
+    t = rng.standard_normal((n, n))
+    a = (t + t.T) / 2
+    # SPD B with spectrum geometrically spanning 1e-6 .. 1: kappa = 1e6
+    g = rng.standard_normal((n, n))
+    q, _ = np.linalg.qr(g)
+    lam = np.geomspace(1e-6, 1.0, n)
+    b = (q * lam[None, :]) @ q.T
+    b = (b + b.T) / 2
+    cfg = SolverConfig(
+        compute_dtype="float32", refine_iters=2, sygst_mode="trinv"
+    )
+    w, z, info = dsygvdx(a, b, il=1, iu=64, cfg=cfg)
+    assert int(info) == 0
+    w, z = np.asarray(w), np.asarray(z)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
+    assert compare_values(w, w_ref[:64]) < 1e-9
+    # pencil eigenvalues reach |w| ~ 1/lambda_min(B) ~ 6e6 here, so use
+    # the lambda-scaled per-pair residual (the unscaled BASELINE metric
+    # divides by ||A|| only and inflates with |w| ||B||).  Measured:
+    # trinv 8.3e-13 vs default-mixed 9.1e-13 on this problem -- the
+    # explicit inverse is at parity, both at the fp64 contract level.
+    anorm = np.linalg.norm(a, 2)
+    bnorm = np.linalg.norm(b, 2)
+    r = a @ z - (b @ z) * w[None, :]
+    den = (anorm + np.abs(w) * bnorm) * np.linalg.norm(z, axis=0)
+    assert np.max(np.linalg.norm(r, axis=0) / den) < 5e-12
+    assert orthonormality_error(z, b) < 1e-8 * n
+
+
 def test_dsygvdx_trinv_fallback_shape():
     """Incompatible n (not 512 * 2^k) must fall back to the 'full'
     auto-dispatch, not raise."""
