@@ -203,6 +203,33 @@ def main():
             atol=1e-3,
         )
 
+    if on("ql"):
+        from eigensolver_gpu_tpu.ops.ql_panel_pallas import ql_panel_pallas
+
+        m, b = 512, 32
+        p = jnp.asarray(rng.standard_normal((m, b)).astype(np.float32))
+        ok &= check(
+            "ql_panel",
+            lambda: ql_panel_pallas(p, 448),
+            lambda: ql_panel_pallas(p, 448, interpret=True),
+            atol=1e-3,
+        )
+
+    if on("ql_planar"):
+        from eigensolver_gpu_tpu.ops.ql_panel_pallas import (
+            ql_panel_planar_pallas,
+        )
+
+        m, b = 512, 32
+        p_r = jnp.asarray(rng.standard_normal((m, b)).astype(np.float32))
+        p_i = jnp.asarray(rng.standard_normal((m, b)).astype(np.float32))
+        ok &= check(
+            "ql_panel_planar",
+            lambda: ql_panel_planar_pallas(p_r, p_i, 448),
+            lambda: ql_panel_planar_pallas(p_r, p_i, 448, interpret=True),
+            atol=1e-3,
+        )
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

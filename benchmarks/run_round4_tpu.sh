@@ -19,9 +19,11 @@ run smoke python benchmarks/kernel_smoke.py
 run chase4096 python benchmarks/chase_micro.py 4096 full,nomath,noshear,nosubroll,nowrite
 run chase8192 python benchmarks/chase_micro.py 8192 full
 
-# 3. two-stage totals (real): crossover re-derivation
+# 3. two-stage totals (real): crossover re-derivation (QL panel kernel
+#    on by default; the noql A/B attributes its share of sbrd)
 run ts4096 python benchmarks/two_stage.py 4096
 run ts8192 python benchmarks/two_stage.py 8192
+run ts4096noql env EIGSOLVE_NO_QL_KERNEL=1 python benchmarks/two_stage.py 4096
 
 # 4. planar two-stage vs the 549 ms one-stage hetrd wall
 run tsp4096 python benchmarks/two_stage_planar.py 4096

@@ -101,7 +101,8 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
         from eigensolver_gpu_tpu.ops.sbrd import apply_q1, sbrd
 
         npad = a_p.shape[0]
-        ab, vs, ts = sbrd(a_p, band=cfg.band, bucket=512)
+        ab, vs, ts = sbrd(a_p, band=cfg.band, bucket=512,
+                          panel_kernel=mesh is None)
         band = dense_to_band(ab, cfg.band)
         # Mosaic chase (one kernel for all 3n timesteps, measured 4.6x
         # the XLA fori_loop chase) on fp32 TPU runs; the XLA chase

@@ -23,10 +23,14 @@ Returns the banded matrix plus the per-panel (V, T) factors;
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# escape hatch if a toolchain regresses the fused QL-panel kernel
+_NO_QL_KERNEL = bool(os.environ.get("EIGSOLVE_NO_QL_KERNEL"))
 
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
@@ -91,13 +95,19 @@ def _larft_forward(v, tau):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("band", "bucket"))
-def sbrd(a, band=32, bucket=512):
+@functools.partial(jax.jit, static_argnames=("band", "bucket", "panel_kernel"))
+def sbrd(a, band=32, bucket=512, panel_kernel=True):
     """Reduce symmetric ``a`` to a symmetric band matrix of half-width
     ``band``. Returns (ab, vs, ts): the banded matrix (full storage,
     entries outside the band zero) and the per-panel WY factors with
     a = Q1 ab Q1^T, Q1 = apply_q1(vs, ts, I). Requires n % band == 0 and
-    n >= 3*band."""
+    n >= 3*band.
+
+    panel_kernel: allow the fused Mosaic QL-panel kernel
+    (ops/ql_panel_pallas.py) on fp32 TPU runs with compatible shapes --
+    one dispatch per panel instead of ~12 XLA ops per column.  Callers
+    running under a mesh pass False (a Pallas call is not SPMD-
+    partitionable; the panel loops stay XLA there)."""
     n = a.shape[0]
     b = band
     if n % b != 0 or n < 3 * b:
@@ -122,18 +132,35 @@ def sbrd(a, band=32, bucket=512):
             npan = (hi - lo) // b
             a_mb = a[:mbound, :mbound]
             rows = lax.broadcasted_iota(jnp.int32, (mbound, 1), 0).squeeze(-1)
+            use_kernel = (
+                panel_kernel
+                and dt == jnp.float32
+                and jax.default_backend() == "tpu"
+                and mbound % 128 == 0
+                and b % 8 == 0
+                and not _NO_QL_KERNEL
+            )
 
             def panel_step(p, carry, mbound=mbound, hi=hi, rows=rows,
-                           pidx_start=pidx_start):
+                           pidx_start=pidx_start, use_kernel=use_kernel):
                 a_mb, vs, ts = carry
                 pend = hi - p * b
                 mrows = pend - b
                 panel = lax.dynamic_slice(a_mb, (0, pend - b), (mbound, b))
-                pfac, v, tau = _ql_panel(panel, mrows - b)
-                # zero reflector rows at/after mrows (the QL masks keep
-                # them zero already except the pivot row convention)
-                v = jnp.where((rows < mrows)[:, None], v, 0.0)
-                t = _larft_forward(v, tau)
+                if use_kernel:
+                    from eigensolver_gpu_tpu.ops.ql_panel_pallas import (
+                        ql_panel_pallas,
+                    )
+
+                    pfac, v, tau, t = ql_panel_pallas(panel, mrows - b)
+                    v = jnp.where((rows < mrows)[:, None], v, 0.0)
+                else:
+                    pfac, v, tau = _ql_panel(panel, mrows - b)
+                    # zero reflector rows at/after mrows (the QL masks
+                    # keep them zero already except the pivot row
+                    # convention)
+                    v = jnp.where((rows < mrows)[:, None], v, 0.0)
+                    t = _larft_forward(v, tau)
                 # two-sided A <- N A N^T, N = I - V T V^T, via the
                 # symmetric W-form: Y = A V T^T, S = T (V^T Y),
                 # W = Y - 1/2 V S, A <- A - V W^T - W V^T

@@ -24,12 +24,16 @@ Returns the banded planar pair plus per-panel planar (V, T) factors;
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from eigensolver_gpu_tpu.ops.sytrd_planar import _larfg_planar
+
+# escape hatch if a toolchain regresses the fused QL-panel kernel
+_NO_QL_KERNEL = bool(os.environ.get("EIGSOLVE_NO_QL_KERNEL"))
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -130,13 +134,18 @@ def _larft_forward_planar(vr, vi, tr, ti):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("band", "bucket"))
-def psbrd(a_r, a_i, band=32, bucket=512):
+@functools.partial(jax.jit, static_argnames=("band", "bucket", "panel_kernel"))
+def psbrd(a_r, a_i, band=32, bucket=512, panel_kernel=True):
     """Reduce the Hermitian planar pair to a Hermitian band of half-width
     ``band``.  Returns ((abr, abi), (vr, vi), (tr, ti)): the banded
     planar pair (full storage, entries outside the band zero) and the
     per-panel planar WY factors with a = Q1 ab Q1^H,
-    Q1 = apply_q1_planar(..., I).  Requires n % band == 0, n >= 3*band."""
+    Q1 = apply_q1_planar(..., I).  Requires n % band == 0, n >= 3*band.
+
+    panel_kernel: allow the fused Mosaic QL-panel kernel
+    (ops/ql_panel_pallas.ql_panel_planar_pallas) on fp32 TPU runs --
+    one dispatch per panel (column loop + conjugated-tau larft) instead
+    of ~20 XLA ops per column."""
     n = a_r.shape[0]
     b = band
     if n % b != 0 or n < 3 * b:
@@ -164,25 +173,45 @@ def psbrd(a_r, a_i, band=32, bucket=512):
             ar_mb = ar[:mbound, :mbound]
             ai_mb = ai[:mbound, :mbound]
             rows = lax.broadcasted_iota(jnp.int32, (mbound, 1), 0).squeeze(-1)
+            use_kernel = (
+                panel_kernel
+                and dt == jnp.float32
+                and jax.default_backend() == "tpu"
+                and mbound % 128 == 0
+                and b % 8 == 0
+                and not _NO_QL_KERNEL
+            )
 
             def panel_step(p, carry, mbound=mbound, hi=hi, rows=rows,
-                           pidx_start=pidx_start):
+                           pidx_start=pidx_start, use_kernel=use_kernel):
                 ar_mb, ai_mb, vs_r, vs_i, ts_r, ts_i = carry
                 pend = hi - p * b
                 mrows = pend - b
                 pan_r = lax.dynamic_slice(ar_mb, (0, pend - b), (mbound, b))
                 pan_i = lax.dynamic_slice(ai_mb, (0, pend - b), (mbound, b))
-                pf_r, pf_i, v_r, v_i, tk_r, tk_i = _ql_panel_planar(
-                    pan_r, pan_i, mrows - b
-                )
-                keep = (rows < mrows)[:, None]
-                v_r = jnp.where(keep, v_r, 0.0)
-                v_i = jnp.where(keep, v_i, 0.0)
-                # the panel applied H^H per column (zlarfg annihilation
-                # side), so the accumulated WY block is
-                # N = H_0^H .. H_{b-1}^H = I - V T' V^H with T' the
-                # forward larft of the CONJUGATED taus
-                t_r, t_i = _larft_forward_planar(v_r, v_i, tk_r, -tk_i)
+                if use_kernel:
+                    from eigensolver_gpu_tpu.ops.ql_panel_pallas import (
+                        ql_panel_planar_pallas,
+                    )
+
+                    (pf_r, pf_i, v_r, v_i, tk_r, tk_i, t_r, t_i) = (
+                        ql_panel_planar_pallas(pan_r, pan_i, mrows - b)
+                    )
+                    keep = (rows < mrows)[:, None]
+                    v_r = jnp.where(keep, v_r, 0.0)
+                    v_i = jnp.where(keep, v_i, 0.0)
+                else:
+                    pf_r, pf_i, v_r, v_i, tk_r, tk_i = _ql_panel_planar(
+                        pan_r, pan_i, mrows - b
+                    )
+                    keep = (rows < mrows)[:, None]
+                    v_r = jnp.where(keep, v_r, 0.0)
+                    v_i = jnp.where(keep, v_i, 0.0)
+                    # the panel applied H^H per column (zlarfg
+                    # annihilation side), so the accumulated WY block is
+                    # N = H_0^H .. H_{b-1}^H = I - V T' V^H with T' the
+                    # forward larft of the CONJUGATED taus
+                    t_r, t_i = _larft_forward_planar(v_r, v_i, tk_r, -tk_i)
                 # two-sided A <- N A N^H via the Hermitian W-form
                 # (module docstring): Y = A (V T^H), S = T (V^H Y),
                 # W = Y - 1/2 V S, A <- A - V W^H - W V^H
