@@ -230,6 +230,23 @@ def main():
             atol=1e-3,
         )
 
+    if on("pchol"):
+        from eigensolver_gpu_tpu.ops.pchol_pallas import (
+            pchol_block_planar_pallas,
+        )
+
+        nb = 128
+        tr = rng.standard_normal((nb, nb)).astype(np.float32)
+        ti = rng.standard_normal((nb, nb)).astype(np.float32)
+        ar = jnp.asarray(tr @ tr.T + ti @ ti.T + nb * np.eye(nb, dtype=np.float32))
+        ai = jnp.asarray(ti @ tr.T - tr @ ti.T)
+        ok &= check(
+            "pchol_block_planar",
+            lambda: pchol_block_planar_pallas(ar, ai),
+            lambda: pchol_block_planar_pallas(ar, ai, interpret=True),
+            atol=1e-3,
+        )
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -47,6 +47,10 @@ run trinv env EIGSOLVE_BENCH_PSOLVE=trinv EIGSOLVE_BENCH_SKIP_CPU=1 python bench
 # 7c. real-driver trinv A/B at config 2 (vs the 370.4 ms sygst_inv run)
 run cfg2trinv env EIGSOLVE_BENCH_N=4096 EIGSOLVE_BENCH_IU=512 EIGSOLVE_BENCH_DTYPE=float64 EIGSOLVE_BENCH_SYGST=trinv EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
 
+# 7d. pchol-kernel A/B: fused Mosaic diag-block Cholesky vs the two
+#     nb-step XLA loops (expected ~50 ms off the headline's 61 ms stage)
+run nopchol env EIGSOLVE_NO_PCHOL_KERNEL=1 EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
+
 # 8. headline refinement A/B: 2 sweeps (1 fp32 + 1 fp64) vs default 3 --
 #    checks whether a coarse sweep can be dropped without moving the
 #    residual off ~1e-17 (escalation gate still active)

@@ -23,12 +23,15 @@ fori_loop based blocking).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from eigensolver_gpu_tpu.utils.precision import highest_precision
+
+_NO_PCHOL_KERNEL = bool(os.environ.get("EIGSOLVE_NO_PCHOL_KERNEL"))
 
 
 def pconj(x):
@@ -409,19 +412,32 @@ def _pchol_base(ar, ai, nb):
 
 
 @highest_precision
-@functools.partial(jax.jit, static_argnames=("nb",))
-def pcholesky_lower(b, nb=128):
+@functools.partial(jax.jit, static_argnames=("nb", "block_kernel"))
+def pcholesky_lower(b, nb=128, block_kernel=True):
     """Planar Cholesky B = L L^H (left-looking, fixed shapes).
 
     Returns (L, info) with info the 1-based global column index of the
     first non-positive pivot, 0 on success (cuSOLVER devInfo semantics,
     checked by the reference at zhegvdx_gpu.F90:136-142).
+
+    block_kernel: allow the fused Mosaic diag-block kernel
+    (ops/pchol_pallas.py) on fp32 TPU runs -- one dispatch replaces the
+    two nb-step XLA loops per block, and the panel solve becomes one
+    planar gemm against the kernel's inv(L_d) (same eps32*kappa(block)
+    error class as the fp32 pipeline's other block-inverted solves).
     """
     br, bi = b
     n = br.shape[0]
     if n % nb != 0:
         raise ValueError(f"pcholesky requires n % nb == 0, got n={n}, nb={nb}")
     nblocks = n // nb
+    use_kernel = (
+        block_kernel
+        and br.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and nb % 8 == 0
+        and not _NO_PCHOL_KERNEL
+    )
 
     def make_body(r0, w):
         """Loop body for blocks whose correction reads cols [0, w) and
@@ -449,17 +465,30 @@ def pcholesky_lower(b, nb=128):
             pan_i = lax.dynamic_slice(bi, (r0, k0), (nr, nb)) - corr_i
             diag_r = lax.dynamic_slice(pan_r, (k0 - r0, 0), (nb, nb))
             diag_i = lax.dynamic_slice(pan_i, (k0 - r0, 0), (nb, nb))
-            ld_r, ld_i, blk_fail = _pchol_base(diag_r, diag_i, nb)
+            if use_kernel:
+                from eigensolver_gpu_tpu.ops.pchol_pallas import (
+                    pchol_block_planar_pallas,
+                )
+
+                ld_r, ld_i, inv_r, inv_i, blk_fail = pchol_block_planar_pallas(
+                    diag_r, diag_i
+                )
+                # X L_d^H = pan  =>  X = pan @ inv(L_d)^H (one planar gemm)
+                x_r = pan_r @ inv_r.T + pan_i @ inv_i.T
+                x_i = pan_i @ inv_r.T - pan_r @ inv_i.T
+            else:
+                ld_r, ld_i, blk_fail = _pchol_base(diag_r, diag_i, nb)
+                # subdiagonal panel: X L_d^H = pan =>
+                # L_d conj(X^T) = conj(pan^T)
+                sub_r, sub_i = _fsub_base(
+                    ld_r, ld_i, pan_r.T, -pan_i.T, nb
+                )  # solves L_d Y = conj(pan)^T; then X = conj(Y)^T
+                x_r = sub_r.T
+                x_i = -sub_i.T
             # devInfo semantics: 1-based global column of FIRST bad pivot
             fail = jnp.where(
                 (fail == 0) & (blk_fail > 0), jnp.int32(k0) + blk_fail, fail
             )
-            # subdiagonal panel: X L_d^H = pan  =>  L_d conj(X^T) = conj(pan^T)
-            sub_r, sub_i = _fsub_base(
-                ld_r, ld_i, pan_r.T, -pan_i.T, nb
-            )  # solves L_d Y = conj(pan)^T; then X = conj(Y)^T
-            x_r = sub_r.T
-            x_i = -sub_i.T
             below = (rows >= k0 + nb)[:, None]
             blk_r = jnp.where(below, x_r, 0.0)
             blk_i = jnp.where(below, x_i, 0.0)
