@@ -38,26 +38,8 @@ from eigensolver_gpu_tpu.utils.testing import random_hpd_pair  # noqa: E402
 from eigensolver_gpu_tpu.utils.roofline import format_row  # noqa: E402
 
 
-# EIGSOLVE_STAGES_LOOPK=k (k > 1): also time a k-iteration in-jit loop
-# of each stage, amortizing the tunnel's ~28 ms per-call floor (same
-# scheme as stages_mixed.py; body perturbs arg 0 by i*1e-30 so XLA
-# cannot hoist the evaluations).
-LOOPK = int(os.environ.get("EIGSOLVE_STAGES_LOOPK", "0"))
-_FLOOR_MS = None
-
-
-def _call_floor_ms():
-    global _FLOOR_MS
-    if _FLOOR_MS is None:
-        noop = jax.jit(lambda x: x + 1.0)
-        np.asarray(noop(jnp.float32(0)))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(noop(jnp.float32(0)))
-            ts.append(time.perf_counter() - t0)
-        _FLOOR_MS = min(ts) * 1e3
-    return _FLOOR_MS
+# See benchmarks/_stage_timer.py for the LOOPK in-jit device-time scheme.
+from _stage_timer import LOOPK, loopk_device_ms  # noqa: E402
 
 
 def timeit(name, f, *args, rep=3, flops=0.0, prec="f32", bytes_hbm=0.0):
@@ -80,26 +62,8 @@ def timeit(name, f, *args, rep=3, flops=0.0, prec="f32", bytes_hbm=0.0):
         + f"  (compile {tc:.1f}s)"
     )
     if LOOPK > 1:
-        from jax import lax
-
-        k = LOOPK
-        x0, rest = args[0], args[1:]
-
-        def looped(x0, *rest):
-            def body(i, acc):
-                xp = x0 + (i.astype(jnp.float32) * 1e-30).astype(x0.dtype)
-                return acc + scalar(xp, *rest)
-
-            return lax.fori_loop(0, k, body, jnp.float32(0))
-
-        gl = jax.jit(looped)
-        np.asarray(gl(x0, *rest))
-        tl = []
-        for _ in range(rep):
-            t0 = time.perf_counter()
-            np.asarray(gl(x0, *rest))
-            tl.append(time.perf_counter() - t0)
-        line += f"  device ~{(min(tl)*1e3 - _call_floor_ms())/k:7.2f} ms (k={k})"
+        dev_ms = loopk_device_ms(scalar, args, LOOPK, rep=rep)
+        line += f"  device ~{dev_ms:7.2f} ms (k={LOOPK})"
     print(line, flush=True)
     return jax.jit(f)(*args)
 

@@ -74,6 +74,17 @@ def _pad_planar(ar, ai, npad):
     return out_r, out_i
 
 
+def _tri_eigh(d, e, cfg):
+    """Tridiagonal eigensolve per cfg.stedc_backend: 'dc' = on-device
+    divide & conquer (ops/stedc.py); 'xla' = jnp.linalg.eigh of the
+    dense real tridiagonal (the debug fallback utils/config.py
+    documents -- previously ignored by this driver)."""
+    if cfg.stedc_backend == "xla":
+        t = jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1)
+        return jnp.linalg.eigh(t)
+    return stedc(d, e, leaf=cfg.stedc_leaf)
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
 def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CONFIG):
@@ -227,7 +238,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
                     band_r, band_i, cfg.band
                 )
             (p_r, p_i), e_abs = phase_normalize(e_r, e_i)
-            w_all, q_tri = stedc(d, e_abs, leaf=cfg.stedc_leaf)
+            w_all, q_tri = _tri_eigh(d, e_abs, cfg)
             w = w_all[il - 1 : iu]
             z0 = q_tri[:, il - 1 : iu]
             # eigvec chain: z = Q1 Q2 D z_tri (D from phase_normalize)
@@ -260,7 +271,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             (pr, pi), d, e, (taur, taui) = hetrd_planar(
                 cr_p, ci_p, nb=nbt, bucket=128, use_pallas=cfg.use_pallas
             )
-            w_all, q_tri = stedc(d, e, leaf=cfg.stedc_leaf)
+            w_all, q_tri = _tri_eigh(d, e, cfg)
             w = w_all[il - 1 : iu]
             zr0 = q_tri[:, il - 1 : iu]
             zi0 = jnp.zeros_like(zr0)

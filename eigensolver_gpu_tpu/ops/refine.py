@@ -186,15 +186,19 @@ def _run_sweeps(one_sweep, x, w_rows, n_full, extra_max, n, dt):
     refine_gevp / refine_eigh)."""
     w = None
     defect = None
+    escalate = jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64
     for _ in range(n_full):
         x, w, w_rows, defect = one_sweep(x, w_rows)
-    if defect is None and extra_max > 0:
+    if defect is None and extra_max > 0 and escalate:
         # sweeps=0 with escalation enabled: the defect gate needs one
         # measured sweep to seed the while_loop carry (a None seed
         # crashes at trace time); spend the first escalation sweep here.
+        # Gated on the 64-bit check: 32-bit refines never enter the
+        # while_loop, so the seed sweep would be an unrequested no-op-
+        # plus-cost under sweeps=0.
         x, w, w_rows, defect = one_sweep(x, w_rows)
         extra_max -= 1
-    if extra_max > 0 and jnp.finfo(jnp.zeros((), dt).real.dtype).bits == 64:
+    if extra_max > 0 and defect is not None and escalate:
         # tolerance sits well above the defect's gram-noise floor
         # (measured ~3e-13 scale) and well below a one-sweep-short
         # defect (1e-9..1e-10 on the adversarial fixtures)

@@ -77,6 +77,36 @@ def _geometry(n, b, g):
     )
 
 
+def _wave_gather(geo, n, b, g, n_act4, kcap):
+    """Static gather-index construction shared by window_qs and its
+    planar twin: slot i of wave tau -> window (j, k) -> flat index into
+    the (kp, nvp, b)-padded sweep-major reflector pack.  The u_lo clamp
+    uses the stream-padded slot count n_act4 and MUST match the kernels'
+    in-kernel base arithmetic exactly (the clamp proof lives in
+    _replay_kernel).  Active slots span [u_lo, u_lo + n_act4) entirely
+    (u_lo >= n_u - n_act4 when clamped), so there is NO i < n_act
+    restriction here -- the kernel's in-kernel predicate applies every
+    window this marks valid.  Invalid slots index zero padding (sweep
+    column n_groups*g.., k row kp-1)."""
+    kmax, n_groups = geo["kmax"], geo["n_groups"]
+    n_u = geo["n_u"]
+    nvp = n_groups * g + g
+    kp = max(kmax + 2, kcap)
+    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
+    u = u_lo[:, None] + np.arange(n_act4)[None, :]
+    jarr = geo["c0"][:, None] + u
+    karr = geo["par"][:, None] + 2 * u
+    a0 = jarr * g + karr * b
+    valid = (jarr >= 0) & (jarr < n_groups) & (karr <= kmax) & (a0 <= n - 3)
+    jj = np.where(valid, jarr, n_groups)   # -> zero sweep padding
+    kk = np.where(valid, karr, kp - 1)     # -> zero k row
+    flat_idx = jnp.asarray(
+        (kk[:, :, None] * nvp + jj[:, :, None] * g + np.arange(g)).reshape(-1),
+        jnp.int32,
+    )
+    return nvp, kp, flat_idx
+
+
 @highest_precision
 @functools.partial(jax.jit, static_argnames=("n", "b", "g"))
 def window_qs(vt, taut, n, b, g):
@@ -98,30 +128,9 @@ def window_qs(vt, taut, n, b, g):
     v2, t2 = repack_sweep_major(vt, taut, b, n)  # (kcap, nv, b)
     kcap = v2.shape[0]
     # pad: k rows to kmax+2 (last = zeros), sweeps to n_groups*g + g
-    nvp = n_groups * g + g
-    kp = max(kmax + 2, kcap)
+    nvp, kp, flat_idx = _wave_gather(geo, n, b, g, n_act4, kcap)
     v2p = jnp.pad(v2, ((0, kp - kcap), (0, nvp - nv), (0, 0)))
     t2p = jnp.pad(t2, ((0, kp - kcap), (0, nvp - nv)))
-
-    # static gather indices: slot i of wave tau -> window (j, k).
-    # u_lo is clamped with the stream-padded slot count n_act4 -- must
-    # match the kernel's in-kernel arithmetic exactly.
-    n_u = geo["n_u"]
-    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
-    u = u_lo[:, None] + np.arange(n_act4)[None, :]
-    jarr = geo["c0"][:, None] + u
-    karr = geo["par"][:, None] + 2 * u
-    a0 = jarr * g + karr * b
-    # active slots span [u_lo, u_lo + n_act4) entirely (u_lo >= n_u -
-    # n_act4 when clamped), so NO i < n_act restriction here -- the
-    # kernel's in-kernel predicate applies every window this marks
-    valid = (jarr >= 0) & (jarr < n_groups) & (karr <= kmax) & (a0 <= n - 3)
-    jj = np.where(valid, jarr, n_groups)   # -> zero sweep padding
-    kk = np.where(valid, karr, kp - 1)     # -> zero k row
-    flat_idx = jnp.asarray(
-        (kk[:, :, None] * nvp + jj[:, :, None] * g + np.arange(g)).reshape(-1),
-        jnp.int32,
-    )
     vblk = jnp.take(v2p.reshape(kp * nvp, b), flat_idx, axis=0).reshape(
         n_waves, n_act4, g, b
     )
@@ -249,26 +258,12 @@ def window_qs_planar(vt, taut, n, b, g):
     v2_r, t2_r = repack_sweep_major(vt_r, tt_r, b, n)
     v2_i, t2_i = repack_sweep_major(vt_i, tt_i, b, n)
     kcap = v2_r.shape[0]
-    nvp = n_groups * g + g
-    kp = max(kmax + 2, kcap)
+    nvp, kp, flat_idx = _wave_gather(geo, n, b, g, n_act4, kcap)
     padv = lambda v: jnp.pad(v, ((0, kp - kcap), (0, nvp - nv), (0, 0)))
     padt = lambda t: jnp.pad(t, ((0, kp - kcap), (0, nvp - nv)))
     v2p_r, v2p_i = padv(v2_r), padv(v2_i)
     t2p_r, t2p_i = padt(t2_r), padt(t2_i)
 
-    n_u = geo["n_u"]
-    u_lo = np.minimum(np.maximum(0, -geo["c0"]), max(n_u - n_act4, 0))
-    u = u_lo[:, None] + np.arange(n_act4)[None, :]
-    jarr = geo["c0"][:, None] + u
-    karr = geo["par"][:, None] + 2 * u
-    a0 = jarr * g + karr * b
-    valid = (jarr >= 0) & (jarr < n_groups) & (karr <= kmax) & (a0 <= n - 3)
-    jj = np.where(valid, jarr, n_groups)
-    kk = np.where(valid, karr, kp - 1)
-    flat_idx = jnp.asarray(
-        (kk[:, :, None] * nvp + jj[:, :, None] * g + np.arange(g)).reshape(-1),
-        jnp.int32,
-    )
     take_v = lambda v: jnp.take(
         v.reshape(kp * nvp, b), flat_idx, axis=0
     ).reshape(n_waves, n_act4, g, b)

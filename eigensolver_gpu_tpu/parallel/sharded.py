@@ -34,8 +34,14 @@ from eigensolver_gpu_tpu.models.sygvdx import SygvdxResult, _from_upper, sygvdx
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
 from eigensolver_gpu_tpu.models.syevdx import syevdx
 from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
+from eigensolver_gpu_tpu.utils.precision import highest_precision
 
 
+# highest_precision OUTSIDE jit: the trinv phase-2/4 gemms below are raw
+# jnp matmuls in this function's own body (not inside an internally
+# decorated op), and a bare fp32 matmul on TPU is a 1-pass bf16 MXU gemm
+# -- fatal to the refinement's starting basis (utils/precision.py).
+@highest_precision
 @functools.partial(jax.jit, static_argnames=("mesh", "il", "iu", "cfg"))
 def _sharded_step(a, b, mesh, il, iu, cfg):
     row = NamedSharding(mesh, P("tp", None))
@@ -97,7 +103,10 @@ def _sharded_step(a, b, mesh, il, iu, cfg):
     # the sharded buffer); the full inverse has no such chains.
     lowprec = a.dtype in (jnp.float32, jnp.complex64)
     inv_ok = n % 512 == 0 and (n // 512) & (n // 512 - 1) == 0
-    if lowprec and inv_ok:
+    # an explicit 'blocked' is the documented escape hatch (e.g. to avoid
+    # the eps32*kappa(U) explicit-inverse error on ill-conditioned B) --
+    # honor it rather than overriding with the trinv scheme
+    if lowprec and inv_ok and cfg.sygst_mode != "blocked":
         from eigensolver_gpu_tpu.ops.trsm import trinv_upper_full
 
         inv = lax.with_sharding_constraint(trinv_upper_full(u, base=512), row)

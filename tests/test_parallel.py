@@ -155,3 +155,20 @@ def test_sygvdx_sharded_mixed_fullinv():
     np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-10 * n)
     res = np.abs(a @ z - (b @ z) * w[None, :]).max()
     assert res < 1e-10, f"sharded mixed full-inv residual {res:.2e}"
+
+
+def test_sygvdx_sharded_mixed_blocked_escape_hatch():
+    """An explicit sygst_mode='blocked' must be honored on fp32 sharded
+    runs even when n qualifies for the trinv full-inverse scheme
+    (review finding: the trinv branch silently overrode it)."""
+    n = 512
+    a, b = random_spd_pair(n, seed=23)
+    mesh = make_mesh(8)
+    cfg = SolverConfig(
+        compute_dtype="float32", refine_iters=3, sygst_mode="blocked"
+    )
+    out = sygvdx_sharded(a, b, mesh, il=1, iu=32, cfg=cfg)
+    assert int(np.asarray(out.info)) == 0
+    w = np.asarray(out.w)
+    w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)[:32]
+    np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-10 * n)

@@ -207,3 +207,22 @@ def test_zhegvdx_planar_range_validation():
     for il, iu in [(0, 8), (5, 4), (1, n + 1), (-1, 8)]:
         with pytest.raises(ValueError):
             zhegvdx_planar_host(a, b, il=il, iu=iu)
+
+
+def test_zhegvdx_planar_stedc_backend_xla():
+    """cfg.stedc_backend='xla' must actually switch the tridiagonal
+    eigensolver (review finding: the planar driver silently ignored the
+    knob), on both the one-stage and two-stage reduction paths."""
+    from eigensolver_gpu_tpu.utils.config import SolverConfig
+
+    n, iu = 96, 10
+    a, b = random_hpd_pair(n, seed=96)
+    import scipy.linalg
+
+    want = scipy.linalg.eigh(a, b, eigvals_only=True)[:iu]
+    for mode in ("one", "two"):
+        cfg = SolverConfig(stedc_backend="xla", tridiag_mode=mode, band=32)
+        w, zr, zi, info = zhegvdx_planar_host(a, b, il=1, iu=iu, cfg=cfg)
+        assert int(info) == 0
+        np.testing.assert_allclose(np.asarray(w), want, atol=1e-10 * n,
+                                   err_msg=f"tridiag_mode={mode}")

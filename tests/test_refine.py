@@ -245,3 +245,18 @@ def test_zhegvdx_planar_selected_range_mixed():
     z = np.asarray(zr) + 1j * np.asarray(zi)
     res = np.max(np.abs(a @ z - b @ z * np.asarray(w)[None, :]))
     assert res < 1e-11 * n
+
+
+def test_refine_sweeps_zero_32bit_is_noop():
+    """32-bit refine with sweeps=0 and extra_max>0 must NOT run the
+    escalation seed sweep: the defect-gated while_loop is 64-bit-only,
+    so the seed would be pure unrequested cost (review finding)."""
+    n = 32
+    a, b = random_spd_pair(n, seed=57)
+    from eigensolver_gpu_tpu.ops.refine import refine_gevp
+
+    a32, b32 = a.astype(np.float32), b.astype(np.float32)
+    w32, x32 = scipy.linalg.eigh(a32, b32)
+    w, x = refine_gevp(a32, b32, x32, sweeps=0, extra_max=3)
+    # sweeps=0 on a 32-bit dtype is a documented no-op on the basis
+    np.testing.assert_array_equal(np.asarray(x), x32)
