@@ -17,6 +17,7 @@ from eigensolver_gpu_tpu.parallel.sharded import (
     sygvdx_sharded,
     sygvdx_batched,
     sygvdx_batched_sharded,
+    zhegvdx_planar_batched_sharded,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "sygvdx_sharded",
     "sygvdx_batched",
     "sygvdx_batched_sharded",
+    "zhegvdx_planar_batched_sharded",
 ]

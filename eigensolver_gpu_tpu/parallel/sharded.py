@@ -34,16 +34,22 @@ from eigensolver_gpu_tpu.models.sygvdx import SygvdxResult, _from_upper, sygvdx
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
 from eigensolver_gpu_tpu.models.syevdx import syevdx
 from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
-from eigensolver_gpu_tpu.utils.precision import highest_precision
 
 
-# highest_precision OUTSIDE jit: the trinv phase-2/4 gemms below are raw
-# jnp matmuls in this function's own body (not inside an internally
-# decorated op), and a bare fp32 matmul on TPU is a 1-pass bf16 MXU gemm
-# -- fatal to the refinement's starting basis (utils/precision.py).
-@highest_precision
 @functools.partial(jax.jit, static_argnames=("mesh", "il", "iu", "cfg"))
 def _sharded_step(a, b, mesh, il, iu, cfg):
+    # matmul precision 'highest' INSIDE the traced body (not a wrapper
+    # around the jit): the trinv phase-2/4 gemms below are raw jnp
+    # matmuls in this function's own body (not inside an internally
+    # decorated op), and a bare fp32 matmul on TPU is a 1-pass bf16 MXU
+    # gemm -- fatal to the refinement's starting basis
+    # (utils/precision.py). An outer wrapper would also hide jit's
+    # .lower(), which benchmarks/config5_artifact.py AOT-compiles.
+    with jax.default_matmul_precision("highest"):
+        return _sharded_step_body(a, b, mesh, il, iu, cfg)
+
+
+def _sharded_step_body(a, b, mesh, il, iu, cfg):
     row = NamedSharding(mesh, P("tp", None))
     n = a.shape[0]
     # UPLO='U' contract, same normalization as the unsharded driver
@@ -178,3 +184,35 @@ def sygvdx_batched_sharded(
 def _batched_step(a, b, il, iu, cfg):
     fn = functools.partial(sygvdx, il=il, iu=iu, cfg=cfg)
     return jax.vmap(fn)(a, b)
+
+
+def zhegvdx_planar_batched_sharded(
+    ar, ai, br, bi, mesh, il=1, iu=None,
+    cfg: SolverConfig = DEFAULT_CONFIG, chunk=None,
+):
+    """Batched PLANAR complex solves with the batch axis sharded over
+    the mesh: the multi-chip form of BASELINE config 4 (QE k-point
+    batches are Hermitian, so production batching is complex-first).
+
+    Each device owns batch/n_devices whole planar solves (re,im planes,
+    models/zhegvdx_planar.py) -- zero collectives inside a solve, the
+    'dp' pattern of sygvdx_batched_sharded at native complex flop count.
+    ``chunk`` bounds the per-device live set exactly as in
+    zhegvdx_planar_batched (the emulated-fp64 refinement dot expands 8x
+    in memory); it chunks the GLOBAL batch, so keep it a multiple of the
+    device count or leave None when the per-device share already fits.
+    """
+    from eigensolver_gpu_tpu.models.zhegvdx_planar import (
+        zhegvdx_planar_batched,
+    )
+
+    ndev = mesh.devices.size
+    batch = ar.shape[0]
+    if batch % ndev != 0:
+        raise ValueError(f"batch {batch} not divisible by {ndev} devices")
+    batch_sharded = NamedSharding(mesh, P(("dp", "tp"), None, None))
+    ar, ai, br, bi = (
+        jax.device_put(x, batch_sharded) for x in (ar, ai, br, bi)
+    )
+    return zhegvdx_planar_batched(ar, ai, br, bi, il=il, iu=iu, cfg=cfg,
+                                  chunk=chunk)

@@ -172,3 +172,38 @@ def test_sygvdx_sharded_mixed_blocked_escape_hatch():
     w = np.asarray(out.w)
     w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)[:32]
     np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-10 * n)
+
+
+def test_zhegvdx_planar_batched_sharded():
+    """dp-sharded batched planar complex solves: the multi-chip form of
+    config 4 (QE k-point batches are Hermitian). Each device owns
+    batch/n_devices whole solves; values must match per-solve scipy."""
+    from eigensolver_gpu_tpu.parallel import zhegvdx_planar_batched_sharded
+    from eigensolver_gpu_tpu.utils.testing import random_hpd_pair
+
+    batch, n, iu = 8, 48, 6
+    ar = np.empty((batch, n, n))
+    ai = np.empty((batch, n, n))
+    br = np.empty((batch, n, n))
+    bi = np.empty((batch, n, n))
+    mats = []
+    for k in range(batch):
+        a, b = random_hpd_pair(n, seed=100 + k)
+        ar[k], ai[k] = a.real, a.imag
+        br[k], bi[k] = b.real, b.imag
+        mats.append((a, b))
+    mesh = make_mesh(8, dp=4)
+    cfg = SolverConfig(stedc_leaf=16)
+    out = zhegvdx_planar_batched_sharded(
+        ar, ai, br, bi, mesh, il=1, iu=iu, cfg=cfg
+    )
+    assert np.all(np.asarray(out.info) == 0)
+    w = np.asarray(out.w)
+    for k, (a, b) in enumerate(mats):
+        want = scipy.linalg.eigh(a, b, eigvals_only=True)[:iu]
+        np.testing.assert_allclose(w[k], want, rtol=0, atol=1e-10 * n,
+                                   err_msg=f"k={k}")
+    with pytest.raises(ValueError):
+        zhegvdx_planar_batched_sharded(
+            ar[:3], ai[:3], br[:3], bi[:3], mesh, il=1, iu=iu, cfg=cfg
+        )
