@@ -4,8 +4,24 @@
 # informative results land first if the tunnel drops again.
 set -u
 cd "$(dirname "$0")/.."
+probe() {
+  # The tunnel goes down for stretches (observed hours); a hanging
+  # probe (>90 s) means down.  Wait for it between steps instead of
+  # burning each step's full timeout on a dead link.
+  local i
+  for i in $(seq 1 100); do
+    if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "    (tunnel down before next step; waiting 120s, try $i)"
+    sleep 120
+  done
+  echo "    tunnel never returned; aborting queue"
+  exit 1
+}
 run() {
   local name="$1"; shift
+  probe
   echo "=== $name: $* ==="
   timeout "${STEP_TIMEOUT:-3000}" "$@" > "/tmp/r4_$name.log" 2>&1
   echo "--- $name exit $? (tail):"
