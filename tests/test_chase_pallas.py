@@ -83,3 +83,58 @@ def test_chase_pallas_spectrum_and_replay():
     z = np.asarray(apply_q2(vt, taut, jnp.asarray(q.astype(np.float32)), n, b))
     resid = a @ z - z * wt[None, :]
     assert np.abs(resid).max() < 5e-4
+
+
+def test_chase_ladder_fallback_spectrum():
+    """EIGSOLVE_CHASE_LADDER=1 (the masked-roll ladder escape hatch for
+    toolchains that reject the strided roll) must stay correct: flip the
+    module flag, clear the jit cache (the flag is read at trace time),
+    and check spectrum preservation for the real and planar kernels.
+    (Element-wise d/e comparison against the strided-roll kernel is NOT
+    valid: the two compilations reassociate fp32 reductions differently
+    (~1e-5), and the sequential chase amplifies that drift element-wise
+    while leaving the spectrum intact -- verified during round 4.)"""
+    import scipy.linalg
+
+    import eigensolver_gpu_tpu.ops.chase_pallas as cp
+
+    n, b = 96, 8
+    rng = np.random.default_rng(11)
+    a = _rand_band(rng, n, b)
+    band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    ti = rng.standard_normal((n, n)).astype(np.float32)
+    ai = (ti - ti.T) / 2 * (np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b)
+    band_i = jnp.asarray(dense_to_band(jnp.asarray(ai), b))
+
+    old = cp._USE_LADDER
+    cp.bulge_chase_pallas.clear_cache()
+    cp.bulge_chase_planar_pallas.clear_cache()
+    try:
+        cp._USE_LADDER = True
+        d1, e1, _, _ = cp.bulge_chase_pallas(band, b, tb=6, interpret=True)
+        dp1, (epr1, epi1), _, _ = cp.bulge_chase_planar_pallas(
+            band, band_i, b, tb=6, interpret=True
+        )
+    finally:
+        cp._USE_LADDER = old
+        cp.bulge_chase_pallas.clear_cache()
+        cp.bulge_chase_planar_pallas.clear_cache()
+
+    w_ref = np.sort(scipy.linalg.eigvalsh(a))
+    tri = (
+        np.diag(np.asarray(d1))
+        + np.diag(np.asarray(e1), 1)
+        + np.diag(np.asarray(e1), -1)
+    )
+    w = np.sort(scipy.linalg.eigvalsh(tri))
+    scale = max(1.0, np.abs(w_ref).max())
+    assert np.abs(w - w_ref).max() / scale < 5e-5
+
+    wz_ref = np.sort(scipy.linalg.eigvalsh(a + 1j * ai))
+    ez = np.hypot(np.asarray(epr1), np.asarray(epi1))
+    triz = (
+        np.diag(np.asarray(dp1)) + np.diag(ez, 1) + np.diag(ez, -1)
+    )
+    wz = np.sort(scipy.linalg.eigvalsh(triz))
+    scale = max(1.0, np.abs(wz_ref).max())
+    assert np.abs(wz - wz_ref).max() / scale < 5e-5
