@@ -12,7 +12,19 @@ calls, test_zhegvdx.F90:172-184) with one TPU-specific correction: the
 tunnel's device-to-host link is slow, so the solve is reduced to a
 device-side scalar checksum and only that scalar is materialized.
 
+The backend is PROBED before any in-process device call: the serving
+TPU tunnel goes UNAVAILABLE for stretches (observed hours), and a naked
+``jax.devices()`` on a dead tunnel crashes the whole capture (round 4's
+BENCH_r04.json was ``rc=1, parsed=null`` for exactly this). The probe
+runs ``jax.devices()`` in a SUBPROCESS with a per-try timeout (a hung
+backend init cannot wedge this process) and retries on a bounded budget
+before giving up with a distinct exit code.
+
 Environment knobs:
+  EIGSOLVE_BENCH_PROBE_SECS     total probe budget in seconds before
+                                giving up (default 1800; 0 disables)
+  EIGSOLVE_BENCH_PROBE_TRY_SECS per-attempt subprocess timeout (90)
+  EIGSOLVE_BENCH_PROBE_SLEEP    sleep between attempts (60)
   EIGSOLVE_BENCH_N      matrix size (default 4096)
   EIGSOLVE_BENCH_IU     upper eigenpair index (default n//4)
   EIGSOLVE_BENCH_DTYPE  'complex128' (default) or 'float64'
@@ -59,6 +71,61 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def wait_for_backend():
+    """Bounded probe-and-retry for the device backend (VERDICT r4 #2).
+
+    Runs ``jax.devices()`` in a fresh subprocess (the session
+    sitecustomize pre-imports jax pinned to the tunnel, so the probe
+    must not share this process: a dead tunnel hangs the first backend
+    query for minutes). Retries until EIGSOLVE_BENCH_PROBE_SECS is
+    exhausted; returns True once a probe answers, False if the budget
+    runs out. Mirrors benchmarks/run_round4_tpu.sh's probe().
+    """
+    import subprocess
+    import time
+
+    budget = float(os.environ.get("EIGSOLVE_BENCH_PROBE_SECS", "1800"))
+    if budget <= 0:
+        return True
+    try_secs = float(os.environ.get("EIGSOLVE_BENCH_PROBE_TRY_SECS", "90"))
+    sleep_secs = float(os.environ.get("EIGSOLVE_BENCH_PROBE_SLEEP", "60"))
+    platform = os.environ.get("EIGSOLVE_BENCH_PLATFORM")
+    code = "import jax\n"
+    if platform:
+        code += f"jax.config.update('jax_platforms', {platform!r})\n"
+    code += "jax.devices()\n"
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=min(try_secs, max(deadline - time.monotonic(), 1.0)),
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"bench: backend answered on probe attempt {attempt}")
+                return True
+            detail = (r.stderr or b"").decode(errors="replace").strip().splitlines()
+            detail = detail[-1] if detail else "(no stderr)"
+        except subprocess.TimeoutExpired:
+            detail = f"probe hung > {try_secs:.0f}s (tunnel down)"
+        remaining = deadline - time.monotonic()
+        if remaining <= sleep_secs:
+            log(
+                f"bench: backend never answered in {budget:.0f}s "
+                f"({attempt} attempts; last: {detail})"
+            )
+            return False
+        log(
+            f"bench: backend unavailable (attempt {attempt}: {detail}); "
+            f"retrying in {sleep_secs:.0f}s, {remaining:.0f}s left"
+        )
+        time.sleep(sleep_secs)
+
+
 def flops_model(n, m, complex_input, mixed, il=1, margin=32, sweeps=3):
     """Real-flop count of the generalized solve, counting the work the
     implementation ACTUALLY executes (BASELINE.json names GFLOP/s as the
@@ -99,6 +166,9 @@ def flops_model(n, m, complex_input, mixed, il=1, margin=32, sweeps=3):
 
 
 def main():
+    if not wait_for_backend():
+        log("bench: giving up -- backend unavailable; no measurement taken")
+        sys.exit(3)
     n = int(os.environ.get("EIGSOLVE_BENCH_N", "4096"))
     dtype = os.environ.get("EIGSOLVE_BENCH_DTYPE", "complex128")
     mode = os.environ.get("EIGSOLVE_BENCH_MODE", "mp")
