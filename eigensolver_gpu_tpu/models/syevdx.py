@@ -26,6 +26,7 @@ from eigensolver_gpu_tpu.ops.stedc import stedc
 from eigensolver_gpu_tpu.ops.sytrd import sytrd
 from eigensolver_gpu_tpu.ops.unmtr import unmtr
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -102,13 +103,16 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
 
         npad = a_p.shape[0]
         ab, vs, ts = sbrd(a_p, band=cfg.band, bucket=512,
-                          panel_kernel=mesh is None)
+                          panel_kernel=mesh is None and cfg.mosaic_kernels)
         band = dense_to_band(ab, cfg.band)
         # Mosaic chase (one kernel for all 3n timesteps, measured 4.6x
         # the XLA fori_loop chase) on fp32 TPU runs; the XLA chase
         # remains for fp64 (no Mosaic fp64) and every non-TPU backend
-        # (the kernel only lowers through Mosaic).
-        if band.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        # (the kernel only lowers through Mosaic). kernel_ok probes the
+        # toolchain once so a Mosaic rejection degrades to the XLA
+        # chase instead of failing the solve (VERDICT r4 #4).
+        if (band.dtype == jnp.float32 and cfg.mosaic_kernels
+                and kernel_ok("chase")):
             from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
 
             d, e, vt, taut = bulge_chase_pallas(band, cfg.band)
@@ -126,11 +130,12 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
         # the SPMD partitioner can shard the window gemms over columns.
         use_kernel = (
             ab.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
+            and cfg.mosaic_kernels
             and mesh is None
             and g % 8 == 0
             and cfg.band % 8 == 0
             and cfg.band + g - 1 <= 128
+            and kernel_ok("replay")
         )
 
         def back(z):

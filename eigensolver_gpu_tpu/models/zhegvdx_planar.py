@@ -33,6 +33,7 @@ from eigensolver_gpu_tpu.ops.stedc import stedc
 from eigensolver_gpu_tpu.ops.sytrd_planar import hetrd_planar
 from eigensolver_gpu_tpu.ops.unmtr_planar import unmtr_planar
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -118,6 +119,7 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
                 tridiag_mode=cfg.tridiag_mode, band=cfg.band,
                 replay_g=cfg.replay_g,
                 planar_solve_mode=cfg.planar_solve_mode,
+                mosaic_kernels=cfg.mosaic_kernels,
             ),
         )
         x64 = (zr32.astype(ar.dtype), zi32.astype(ar.dtype))
@@ -170,7 +172,9 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         return flv(xr_), flv(xi_)
 
     with trace_range("zhegvdx_planar"):
-        l, info = pcholesky_lower((br, bi), nb=nb_chol)  # PHASE 1
+        l, info = pcholesky_lower(
+            (br, bi), nb=nb_chol, block_kernel=cfg.mosaic_kernels
+        )  # PHASE 1
         if trinv_ok:
             # 'trinv' A/B (queued re-measure of the round-2 negative
             # result above -- the pipeline around it changed): ONE full
@@ -193,8 +197,19 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         nbt = cfg.nb_tridiag
         npad = -(-n // nbt) * nbt
         cr_p, ci_p = _pad_planar(cr, ci, npad)
+        # 'two' forces the planar two-stage reduction; 'auto' engages it
+        # for fp32 TPU runs at n >= cfg.planar_two_stage_min_n (0 =
+        # never -- the default until the on-chip crossover against the
+        # 549 ms one-stage hetrd wall is measured, VERDICT r4 #3)
+        want_two = cfg.tridiag_mode == "two" or (
+            cfg.tridiag_mode == "auto"
+            and cfg.planar_two_stage_min_n > 0
+            and n >= cfg.planar_two_stage_min_n
+            and ar.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
         two_stage = (
-            cfg.tridiag_mode == "two"
+            want_two
             and npad % cfg.band == 0
             and npad >= 3 * cfg.band
         )
@@ -216,15 +231,17 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
                 psbrd,
             )
 
-            (abr, abi), vs, ts = psbrd(cr_p, ci_p, band=cfg.band, bucket=512)
+            (abr, abi), vs, ts = psbrd(cr_p, ci_p, band=cfg.band, bucket=512,
+                                       panel_kernel=cfg.mosaic_kernels)
             band_r = dense_to_band(abr, cfg.band)
             band_i = dense_to_band(abi, cfg.band)
             # Mosaic planar chase on fp32 TPU runs (single kernel per
             # phase, strided-roll shears); XLA chase everywhere else
             if (
                 ar.dtype == jnp.float32
-                and jax.default_backend() == "tpu"
+                and cfg.mosaic_kernels
                 and (3 * cfg.band) % 8 == 0
+                and kernel_ok("chase_planar")
             ):
                 from eigensolver_gpu_tpu.ops.chase_pallas import (
                     bulge_chase_planar_pallas,
@@ -249,10 +266,11 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
             )
             use_kernel = (
                 ar.dtype == jnp.float32
-                and jax.default_backend() == "tpu"
+                and cfg.mosaic_kernels
                 and g % 8 == 0
                 and cfg.band % 8 == 0
                 and cfg.band + g - 1 <= 128
+                and kernel_ok("replay_planar")
             )
             if use_kernel:
                 from eigensolver_gpu_tpu.ops.replay_pallas import (

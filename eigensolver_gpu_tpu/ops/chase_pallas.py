@@ -48,12 +48,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-# Escape hatch: EIGSOLVE_CHASE_LADDER=1 keeps the round-3 masked-roll
-# ladders in case a toolchain rejects/slows the strided roll lowering.
-_USE_LADDER = bool(os.environ.get("EIGSOLVE_CHASE_LADDER"))
+
+def _ladder_choice(interpret):
+    """Whether the shears/subrolls use the round-3 masked-roll ladders
+    instead of the strided roll. EIGSOLVE_CHASE_LADDER=1/0 forces the
+    choice (A/B runs); otherwise compiled TPU runs PROBE the strided
+    roll once per process (utils/kernel_guard) and fall back to the
+    ladders automatically if the toolchain rejects it (VERDICT r4 #4 --
+    the bench must survive a toolchain change unattended)."""
+    env = os.environ.get("EIGSOLVE_CHASE_LADDER")
+    if env is not None:
+        return env not in ("", "0")
+    if interpret:
+        return False
+    from eigensolver_gpu_tpu.utils import kernel_guard
+
+    if not kernel_guard.mosaic_backend():
+        return False
+    return not kernel_guard.kernel_ok("strided_roll")
 
 
-def _shear(x, w, lanes, left):
+def _shear(x, w, lanes, left, ladder):
     """Per-sublane-index lane roll: out[s, q, l] = x[s, q, l -+ q].
 
     Fast path (round 4): ONE hardware strided roll --
@@ -63,7 +78,7 @@ def _shear(x, w, lanes, left):
     undoes it.  Replaces the round-3 ladder of log2(w) masked
     power-of-two rolls (6 full VPU select passes each way at w=64).
     """
-    if not _USE_LADDER:
+    if not ladder:
         stride = lanes - 1 if left else 1
         return pltpu.roll(x, shift=jnp.int32(0), axis=2, stride=stride,
                           stride_axis=1)
@@ -82,7 +97,7 @@ def _shear(x, w, lanes, left):
     return x
 
 
-def _subroll(x, n_sl, chunk, up):
+def _subroll(x, n_sl, chunk, up, ladder):
     """Per-slot sublane roll on (n_sl, chunk, w): slot sl's strip sits
     at chunk rows [off, off+2b) with off(sl) = n_sl-1-sl (the -1/slot
     drift of the aligned chunk view); up=True brings it to [0, 2b),
@@ -97,7 +112,7 @@ def _subroll(x, n_sl, chunk, up):
     rolls -- the shear trick, one axis over."""
     if n_sl == 1:
         return x
-    if not _USE_LADDER:
+    if not ladder:
         if up:
             shift, stride = (chunk - n_sl + 1) % chunk, 1
         else:
@@ -119,7 +134,8 @@ def _subroll(x, n_sl, chunk, up):
 
 
 def _chase_kernel(
-    n, b, s_slots, stride, tb, t_total, pad_f, lanes, ablate, t0, *refs
+    n, b, s_slots, stride, tb, t_total, pad_f, lanes, ablate, t0, ladder,
+    *refs,
 ):
     band_in, band_out, vt_ref, tau_ref = refs
     g = pl.program_id(0)
@@ -239,11 +255,12 @@ def _chase_kernel(
                 flat = band_out[pl.ds(base, n_sl * chunk), :]
                 ch = flat.reshape(n_sl, chunk, w)
                 if ablate != "nosubroll":
-                    ch = _subroll(ch, n_sl, chunk, up=True)
+                    ch = _subroll(ch, n_sl, chunk, up=True, ladder=ladder)
                 strip = ch[:, :w, :]
                 pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
                 cat = jnp.concatenate([strip, pad], axis=2)
-                wt = cat if ablate == "noshear" else _shear(cat, w, lanes, False)
+                wt = cat if ablate == "noshear" else _shear(cat, w, lanes,
+                                                            False, ladder)
                 if ablate == "nomath":
                     # WRONG RESULTS: skip reflector math, keep the deps
                     v = wt[:, 0, :b]
@@ -253,11 +270,11 @@ def _chase_kernel(
                 strip_new = (
                     wt[:, :, :w]
                     if ablate == "noshear"
-                    else _shear(wt, w, lanes, True)[:, :, :w]
+                    else _shear(wt, w, lanes, True, ladder)[:, :, :w]
                 )
                 ch = jnp.concatenate([strip_new, ch[:, w:, :]], axis=1)
                 if ablate != "nosubroll":
-                    ch = _subroll(ch, n_sl, chunk, up=False)
+                    ch = _subroll(ch, n_sl, chunk, up=False, ladder=ladder)
                 # trimmed write: [base, base + stride*n_sl) regions tile
                 # the band exactly across groups (last strip ends at
                 # chunk*(n_sl-1)+2b <= stride*n_sl whenever n_sl <= b),
@@ -280,7 +297,8 @@ def _chase_kernel(
             # WRONG RESULTS: skip both shears, time everything else
             wt = jnp.concatenate([strip, pad], axis=2)
         else:
-            wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes, False)
+            wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes,
+                        False, ladder)
 
         if ablate == "nomath":
             # WRONG RESULTS: skip the reflector math, time shear+traffic
@@ -289,7 +307,7 @@ def _chase_kernel(
             strip_new = (
                 wt[:, :, :w]
                 if ablate == "noshear"
-                else _shear(wt, w, lanes, True)[:, :, :w]
+                else _shear(wt, w, lanes, True, ladder)[:, :, :w]
             )
             blk_new = jnp.concatenate([strip_new, blk3[:, w:, :]], axis=1)
             band_out[pl.ds(start, s_slots * stride), :] = blk_new.reshape(
@@ -302,7 +320,7 @@ def _chase_kernel(
         if ablate == "noshear":
             strip_new = wt[:, :, :w]
         else:
-            strip_new = _shear(wt, w, lanes, True)[:, :, :w]
+            strip_new = _shear(wt, w, lanes, True, ladder)[:, :, :w]
         if ablate == "nowrite":
             # WRONG RESULTS: skip the band write-back, time the read side
             pass
@@ -319,7 +337,7 @@ def _chase_kernel(
 
 
 def _chase_kernel_planar(
-    n, b, s_slots, stride, tb, t_total, pad_f, lanes, t0, *refs
+    n, b, s_slots, stride, tb, t_total, pad_f, lanes, t0, ladder, *refs
 ):
     """Planar complex twin of _chase_kernel (grouped path only).
 
@@ -472,22 +490,22 @@ def _chase_kernel_planar(
             base = start + i32(stride * s0) - i32(n_sl - 1)
             chr_ = br_out[pl.ds(base, n_sl * chunk), :].reshape(n_sl, chunk, w)
             chi_ = bi_out[pl.ds(base, n_sl * chunk), :].reshape(n_sl, chunk, w)
-            chr_ = _subroll(chr_, n_sl, chunk, up=True)
-            chi_ = _subroll(chi_, n_sl, chunk, up=True)
+            chr_ = _subroll(chr_, n_sl, chunk, up=True, ladder=ladder)
+            chi_ = _subroll(chi_, n_sl, chunk, up=True, ladder=ladder)
             pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
             wtr = _shear(jnp.concatenate([chr_[:, :w, :], pad], axis=2),
-                         w, lanes, False)
+                         w, lanes, False, ladder)
             wti = _shear(jnp.concatenate([chi_[:, :w, :], pad], axis=2),
-                         w, lanes, False)
+                         w, lanes, False, ladder)
             wtr, wti, v_r, v_i, tau_r, tau_i = window_update(
                 wtr, wti, n_sl, s0, vmax, k0
             )
-            snr = _shear(wtr, w, lanes, True)[:, :, :w]
-            sni = _shear(wti, w, lanes, True)[:, :, :w]
+            snr = _shear(wtr, w, lanes, True, ladder)[:, :, :w]
+            sni = _shear(wti, w, lanes, True, ladder)[:, :, :w]
             chr_ = jnp.concatenate([snr, chr_[:, w:, :]], axis=1)
             chi_ = jnp.concatenate([sni, chi_[:, w:, :]], axis=1)
-            chr_ = _subroll(chr_, n_sl, chunk, up=False)
-            chi_ = _subroll(chi_, n_sl, chunk, up=False)
+            chr_ = _subroll(chr_, n_sl, chunk, up=False, ladder=ladder)
+            chi_ = _subroll(chi_, n_sl, chunk, up=False, ladder=ladder)
             br_out[pl.ds(base, stride * n_sl), :] = chr_.reshape(
                 n_sl * chunk, w
             )[: stride * n_sl]
@@ -548,11 +566,12 @@ def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False):
         phases.append((p0, nblk, max(1, min(s_slots, s_ramp, s_tail))))
 
     const2 = lambda g: (jnp.int32(0), jnp.int32(0))
+    ladder = _ladder_choice(interpret)
     vtrs, vtis, taurs, tauis = [], [], [], []
     for p0, nblk, s_p in phases:
         kernel = functools.partial(
             _chase_kernel_planar, n, b, s_p, stride, tb, t_total, pad_f,
-            lanes, p0 * tb,
+            lanes, p0 * tb, ladder,
         )
         band_spec = pl.BlockSpec(
             (npad, w), index_map=const2, memory_space=pltpu.VMEM
@@ -673,11 +692,12 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
         phases.append((p0, nblk, max(1, min(s_slots, s_ramp, s_tail))))
 
     const2 = lambda g: (jnp.int32(0), jnp.int32(0))
+    ladder = _ladder_choice(interpret)
     vts, taus = [], []
     for p0, nblk, s_p in phases:
         kernel = functools.partial(
             _chase_kernel, n, b, s_p, stride, tb, t_total, pad_f, lanes,
-            ablate, p0 * tb,
+            ablate, p0 * tb, ladder,
         )
         band_p, vt_p, tau_p = pl.pallas_call(
             kernel,

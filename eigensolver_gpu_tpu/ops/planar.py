@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 
 _NO_PCHOL_KERNEL = bool(os.environ.get("EIGSOLVE_NO_PCHOL_KERNEL"))
@@ -434,9 +435,9 @@ def pcholesky_lower(b, nb=128, block_kernel=True):
     use_kernel = (
         block_kernel
         and br.dtype == jnp.float32
-        and jax.default_backend() == "tpu"
         and nb % 8 == 0
         and not _NO_PCHOL_KERNEL
+        and kernel_ok("pchol")  # backend==tpu + toolchain probe
     )
 
     def make_body(r0, w):

@@ -32,6 +32,7 @@ from jax import lax
 # escape hatch if a toolchain regresses the fused QL-panel kernel
 _NO_QL_KERNEL = bool(os.environ.get("EIGSOLVE_NO_QL_KERNEL"))
 
+from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -135,10 +136,10 @@ def sbrd(a, band=32, bucket=512, panel_kernel=True):
             use_kernel = (
                 panel_kernel
                 and dt == jnp.float32
-                and jax.default_backend() == "tpu"
                 and mbound % 128 == 0
                 and b % 8 == 0
                 and not _NO_QL_KERNEL
+                and kernel_ok("ql")  # backend==tpu + toolchain probe
             )
 
             def panel_step(p, carry, mbound=mbound, hi=hi, rows=rows,

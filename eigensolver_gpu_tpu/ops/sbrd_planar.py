@@ -34,6 +34,7 @@ from eigensolver_gpu_tpu.ops.sytrd_planar import _larfg_planar
 
 # escape hatch if a toolchain regresses the fused QL-panel kernel
 _NO_QL_KERNEL = bool(os.environ.get("EIGSOLVE_NO_QL_KERNEL"))
+from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -176,10 +177,10 @@ def psbrd(a_r, a_i, band=32, bucket=512, panel_kernel=True):
             use_kernel = (
                 panel_kernel
                 and dt == jnp.float32
-                and jax.default_backend() == "tpu"
                 and mbound % 128 == 0
                 and b % 8 == 0
                 and not _NO_QL_KERNEL
+                and kernel_ok("ql_planar")  # backend + toolchain probe
             )
 
             def panel_step(p, carry, mbound=mbound, hi=hi, rows=rows,

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.kernel_guard import compiled_unavailable
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -131,7 +132,7 @@ def _panel_columns(a_mb, v_p, w_p, d, e, tau, panel_end, nb, iscomplex, use_pall
         # reference's dsymv_gpu); the Pallas path reads only the upper
         # triangle tiles, halving HBM traffic. Rows >= cj of y are junk
         # either way and masked below.
-        if use_pallas:
+        if use_pallas and not compiled_unavailable("symv"):
             from eigensolver_gpu_tpu.ops.symv_pallas import symv_auto
 
             y = symv_auto(a_mb, v)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from eigensolver_gpu_tpu.utils.kernel_guard import compiled_unavailable
 from eigensolver_gpu_tpu.utils.precision import highest_precision
 from eigensolver_gpu_tpu.utils.tracing import trace_range
 
@@ -109,7 +110,7 @@ def _panel_columns_planar(
         # reference's zhemv_gpu); the Pallas planar hemv reads only the
         # upper-triangle tiles. Junk in processed columns is harmless
         # (v is zero there) and junk rows >= cj are masked below.
-        if use_pallas:
+        if use_pallas and not compiled_unavailable("hemv"):
             from eigensolver_gpu_tpu.ops.hemv_pallas import hemv_planar_auto
 
             y_r, y_i = hemv_planar_auto(ar, ai, v_r, v_i)
@@ -244,6 +245,7 @@ def hetrd_planar(a_r, a_i, nb=32, bucket=512, use_pallas=False):
                 and rdt == jnp.float32
                 and mb % 256 == 0
                 and mb <= 4096  # VMEM budget of the fused panel kernel
+                and not compiled_unavailable("latrd_planar")
             )
 
             def panel_step(p, carry, mb=mb, rows=rows, pallas_ok=pallas_ok):

@@ -30,10 +30,19 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import dataclasses
+
 from eigensolver_gpu_tpu.models.sygvdx import SygvdxResult, _from_upper, sygvdx
 from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
 from eigensolver_gpu_tpu.models.syevdx import syevdx
 from eigensolver_gpu_tpu.ops.cholesky import cholesky_upper
+
+
+def _no_mosaic(cfg: SolverConfig) -> SolverConfig:
+    """Config with the Mosaic kernels forced off (sharded batch axes)."""
+    if not cfg.mosaic_kernels:
+        return cfg
+    return dataclasses.replace(cfg, mosaic_kernels=False)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "il", "iu", "cfg"))
@@ -66,13 +75,25 @@ def _sharded_step_body(a, b, mesh, il, iu, cfg):
         # the fp64 sygst_blocked alone plans ~9 GB/device at n=16384).
         from eigensolver_gpu_tpu.ops.refine import refine_gevp
 
+        # the trinv (explicit full-inverse) phases 2+4 are an fp32-inner
+        # economy whose eps32*kappa(U) forward error the fp64 refinement
+        # absorbs -- opt the INNER solve into it here (unless the user
+        # pinned 'blocked'); a direct fp32/complex64 entry has no
+        # refinement behind it and keeps backward-stable solves unless
+        # the user explicitly asks for sygst_mode='trinv'.
+        inv_ok = n % 512 == 0 and (n // 512) & (n // 512 - 1) == 0
+        inner_sygst = (
+            "trinv" if inv_ok and cfg.sygst_mode != "blocked"
+            else cfg.sygst_mode
+        )
         inner = SolverConfig(
             nb_sygst=cfg.nb_sygst, nb_tridiag=cfg.nb_tridiag,
             nb_back=cfg.nb_back, stedc_leaf=cfg.stedc_leaf,
             stedc_backend=cfg.stedc_backend,
-            sygst_mode=cfg.sygst_mode, use_pallas=cfg.use_pallas,
+            sygst_mode=inner_sygst, use_pallas=cfg.use_pallas,
             tridiag_mode=cfg.tridiag_mode, band=cfg.band,
             two_stage_min_n=cfg.two_stage_min_n, replay_g=cfg.replay_g,
+            mosaic_kernels=cfg.mosaic_kernels,
         )
         r32 = _sharded_step(
             a.astype(jnp.float32), b.astype(jnp.float32), mesh, 1, n, inner
@@ -109,10 +130,12 @@ def _sharded_step_body(a, b, mesh, il, iu, cfg):
     # the sharded buffer); the full inverse has no such chains.
     lowprec = a.dtype in (jnp.float32, jnp.complex64)
     inv_ok = n % 512 == 0 and (n // 512) & (n // 512 - 1) == 0
-    # an explicit 'blocked' is the documented escape hatch (e.g. to avoid
-    # the eps32*kappa(U) explicit-inverse error on ill-conditioned B) --
-    # honor it rather than overriding with the trinv scheme
-    if lowprec and inv_ok and cfg.sygst_mode != "blocked":
+    # trinv requires an explicit opt-in ('trinv'): the mixed path above
+    # sets it on its inner fp32 solve (refinement absorbs the
+    # eps32*kappa(U) explicit-inverse forward error); a DIRECT
+    # fp32/complex64 entry has no refinement, so it keeps the
+    # backward-stable triangular solves unless the caller asks.
+    if lowprec and inv_ok and cfg.sygst_mode == "trinv":
         from eigensolver_gpu_tpu.ops.trsm import trinv_upper_full
 
         inv = lax.with_sharding_constraint(trinv_upper_full(u, base=512), row)
@@ -177,7 +200,9 @@ def sygvdx_batched_sharded(
     batch_sharded = NamedSharding(mesh, P(("dp", "tp"), None, None))
     a = jax.device_put(a, batch_sharded)
     b = jax.device_put(b, batch_sharded)
-    return _batched_step(a, b, il, iu, cfg)
+    # Pallas calls are not SPMD-partitionable: the vmapped inner solves
+    # run over a sharded batch axis, so force the XLA forms
+    return _batched_step(a, b, il, iu, _no_mosaic(cfg))
 
 
 @functools.partial(jax.jit, static_argnames=("il", "iu", "cfg"))
@@ -214,5 +239,8 @@ def zhegvdx_planar_batched_sharded(
     ar, ai, br, bi = (
         jax.device_put(x, batch_sharded) for x in (ar, ai, br, bi)
     )
-    return zhegvdx_planar_batched(ar, ai, br, bi, il=il, iu=iu, cfg=cfg,
-                                  chunk=chunk)
+    # Pallas calls are not SPMD-partitionable (the pchol/chase/replay/ql
+    # kernel gates default ON for fp32 TPU runs): force the XLA forms
+    # for the vmapped-over-sharded-batch inner solves (ADVICE r4 medium)
+    return zhegvdx_planar_batched(ar, ai, br, bi, il=il, iu=iu,
+                                  cfg=_no_mosaic(cfg), chunk=chunk)

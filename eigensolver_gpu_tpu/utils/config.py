@@ -55,6 +55,12 @@ class SolverConfig:
       two_stage_min_n: 'auto' switches to the two-stage reduction at
         this matrix size (below it the one-stage loop's lower constant
         wins).
+      planar_two_stage_min_n: 'auto' crossover for the PLANAR complex
+        driver's two-stage reduction (models/zhegvdx_planar.py), fp32
+        pipeline on TPU only. 0 = never (the one-stage hetrd stays the
+        default until the on-chip crossover is measured --
+        benchmarks/two_stage_planar.py; an explicit tridiag_mode='two'
+        always engages it).
       replay_g: group size (sweeps per compact-WY window) for the
         bulge-chase replay apply_q2. 0 = auto: 3*band for fp32 compute
         (l_win = band+g-1 = 127 fills the 128-lane MXU tile; valid for
@@ -73,6 +79,14 @@ class SolverConfig:
         whose first-order coupling exceeds the residual contract, more
         sweeps run automatically (replaces the manual refine_iters=4
         escape hatch for tight-cluster spectra). 0 disables.
+      mosaic_kernels: allow the compiled Mosaic (Pallas) kernels where
+        the per-site gates would select them. The SPMD partitioner
+        cannot shard Pallas calls, so the sharded/batched-sharded
+        entries (parallel/sharded.py) force this off for their inner
+        solves; selection additionally passes through the per-kernel
+        toolchain probe (utils/kernel_guard.kernel_ok) so a Mosaic
+        rejection degrades to the XLA path instead of failing the
+        solve.
       planar_solve_mode: triangular-solve scheme for the planar fp32
         pipeline's phases 2/4 (fp64 always substitutes).  'blockinv' =
         batched-inverted diagonal blocks + ~30-step blocked substitution
@@ -95,10 +109,12 @@ class SolverConfig:
     tridiag_mode: str = "auto"
     band: int = 32
     two_stage_min_n: int = 4096
+    planar_two_stage_min_n: int = 0
     replay_g: int = 0
     refine_margin: int = 32
     refine_extra_max: int = 2
     planar_solve_mode: str = "blockinv"
+    mosaic_kernels: bool = True
 
     def __post_init__(self):
         if self.planar_solve_mode not in ("blockinv", "trinv", "subst"):

@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 # Shard layout balanced by measured durations (round 4): the driver
 # (sygvdx) and stedc families dominate; everything else is light.
 SHARD1="tests/test_sygvdx.py tests/test_api_edges.py"
-SHARD2="tests/test_stedc.py tests/test_stedc_fuzz.py tests/test_qe_fixture.py"
+SHARD2="tests/test_stedc.py tests/test_stedc_fuzz.py tests/test_qe_fixture.py tests/test_bench_probe.py tests/test_kernel_guard.py"
 SHARD3="tests/test_planar_pipeline.py tests/test_planar.py tests/test_refine.py tests/test_parallel.py tests/test_batched.py"
 SHARD4="tests/test_planar_two_stage.py tests/test_sytrd.py tests/test_sygst.py tests/test_trsm.py tests/test_complex_embed.py tests/test_jacobi.py tests/test_ozaki.py tests/test_utils.py tests/test_chase_pallas.py tests/test_latrd_pallas.py tests/test_replay_pallas.py tests/test_sbrd.py tests/test_symv_pallas.py tests/test_ql_panel_pallas.py tests/test_pchol_pallas.py"
 

@@ -117,17 +117,19 @@ def test_zhegvdx_planar_mixed_trinv():
     """planar_solve_mode='trinv': one full block-doubled inv(L) replaces
     all three fp32 triangular solves; the fp64 refinement must absorb
     the explicit-inverse forward error to the same contract."""
-    n = 256  # trinv requires n = 128 * 2^k
+    n = 128  # trinv requires n = 128 * 2^k (one doubling level suffices
+    # to exercise the merge identity; n=256 doubled the stedc depth and
+    # cost ~100 s of XLA CPU compile per cold run, VERDICT r4 #7)
     a, b = random_hpd_pair(n, seed=97)
     cfg = SolverConfig(
         compute_dtype="float32", refine_iters=2, planar_solve_mode="trinv"
     )
-    w, zr, zi, info = zhegvdx_planar_host(a, b, il=1, iu=64, cfg=cfg)
+    w, zr, zi, info = zhegvdx_planar_host(a, b, il=1, iu=32, cfg=cfg)
     assert int(info) == 0
     z = np.asarray(zr) + 1j * np.asarray(zi)
     w = np.asarray(w)
     w_ref = scipy.linalg.eigh(a, b, eigvals_only=True)
-    assert np.allclose(w, w_ref[:64], atol=1e-9 * n)
+    assert np.allclose(w, w_ref[:32], atol=1e-9 * n)
     assert ge_residual(a, b, w, z) < 1e-12
     assert orthonormality_error(z, b) < 1e-9 * n
 

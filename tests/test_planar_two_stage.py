@@ -237,7 +237,11 @@ def test_zhegvdx_planar_mixed_two_stage():
     a = _rand_herm(rng, n)
     t = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
     bmat = t @ t.conj().T / n + np.eye(n)
-    cfg = SolverConfig(compute_dtype="float32", refine_iters=3,
+    # refine_iters=2 (1 coarse fp32 + 1 fp64 sweep): same contract as
+    # the mixed blockinv/trinv tests; one fewer unrolled sweep keeps the
+    # XLA CPU compile of this big two-stage graph inside the suite
+    # budget (VERDICT r4 #7)
+    cfg = SolverConfig(compute_dtype="float32", refine_iters=2,
                        tridiag_mode="two", band=8, stedc_leaf=16)
     w, zr, zi, info = zhegvdx_planar(
         jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()),
