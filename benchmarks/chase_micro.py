@@ -7,6 +7,8 @@ all of which return WRONG results by design) to split the measured
 ~21 us/step (n=4096) / ~80 us/step (n=8192) between:
 
   full     the production kernel
+  batch3   the vmax-batched kernel (one band round trip per 3 timesteps,
+           bit-identical outputs -- ops/chase_pallas._chase_kernel_b3)
   nomath   band read + shear + unshear + write only (no reflector math)
   noshear  read + reflector math + write, shears skipped
   aligned  full work, slice start rounded to a sublane multiple
@@ -62,11 +64,12 @@ def main():
     band = dense_to_band(a, b)
 
     for mode in modes:
-        ab = None if mode == "full" else mode
+        ab = None if mode in ("full", "batch3") else mode
+        b3 = mode == "batch3"
 
         @jax.jit
-        def f(bd, ab=ab):
-            d, e, vt, taut = bulge_chase_pallas(bd, b, ablate=ab)
+        def f(bd, ab=ab, b3=b3):
+            d, e, vt, taut = bulge_chase_pallas(bd, b, ablate=ab, batch3=b3)
             return jnp.sum(d) + jnp.sum(e) + jnp.sum(vt[0]) + jnp.sum(taut[0])
 
         t0 = wallclock()

@@ -35,6 +35,11 @@ run smoke python benchmarks/kernel_smoke.py
 run chase4096 python benchmarks/chase_micro.py 4096 full,nomath,noshear,nosubroll,nowrite
 run chase8192 python benchmarks/chase_micro.py 8192 full
 
+# 2b. vmax-batched chase (round 5, bit-identical outputs): one band
+#     round trip per 3 timesteps -- flip EIGSOLVE_CHASE_BATCH3 on a win
+run chase4096b3 python benchmarks/chase_micro.py 4096 batch3
+run chase8192b3 python benchmarks/chase_micro.py 8192 batch3
+
 # 3. two-stage totals (real): crossover re-derivation (QL panel kernel
 #    on by default; the noql A/B attributes its share of sbrd)
 run ts4096 python benchmarks/two_stage.py 4096

@@ -113,9 +113,17 @@ def _tridiag_reduce(a_p, cfg, two_stage, mesh=None):
         # chase instead of failing the solve (VERDICT r4 #4).
         if (band.dtype == jnp.float32 and cfg.mosaic_kernels
                 and kernel_ok("chase")):
+            import os as _os
+
             from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
 
-            d, e, vt, taut = bulge_chase_pallas(band, cfg.band)
+            # EIGSOLVE_CHASE_BATCH3=1: vmax-batched kernel (one band
+            # round trip per 3 timesteps, bit-identical outputs) --
+            # queued A/B lever, default off until measured on-chip
+            b3 = bool(_os.environ.get("EIGSOLVE_CHASE_BATCH3")) and (
+                cfg.band % 8 == 0
+            )
+            d, e, vt, taut = bulge_chase_pallas(band, cfg.band, batch3=b3)
         else:
             d, e, vt, taut = bulge_chase(band, cfg.band)
 

@@ -133,6 +133,84 @@ def _subroll(x, n_sl, chunk, up, ladder):
     return x
 
 
+def _window_update(wt, n_sl, s0, vmax, k0, n, b):
+    """One chase step's reflectors on the sheared windows of slots
+    [s0, s0+n_sl); returns (wt_new, v, tau). Shared by the per-timestep
+    kernel and the vmax-batched kernel (window geometry is identical;
+    only the band<->window staging differs)."""
+    w = 2 * b
+    f1 = jnp.float32(1.0)
+    i32 = jnp.int32
+    lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    sub_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    tril_mask = (lane_b >= sub_b).astype(jnp.float32)  # (1, b, b) p >= q
+    svec = i32(s0) + lax.broadcasted_iota(jnp.int32, (n_sl, 1), 0)
+
+    # per-slot schedule
+    v_s = vmax - svec                       # (S, 1)
+    k_s = k0 + i32(3) * svec
+    r0_s = v_s + i32(1) + k_s * i32(b)
+    active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
+
+    # reflector source: window col b-1 (sweep start) or col 0
+    x0 = wt[:, b - 1, b:w]                  # (S, b)
+    x1 = wt[:, 0, b:w]
+    x = jnp.where((k_s == i32(0)) & (k0 == i32(0)), x0, x1)
+
+    # batched branch-free larfg (LAPACK dlarfg conventions)
+    alpha = x[:, 0:1]
+    xtail = x * (lane_b[0] > 0).astype(jnp.float32)
+    xnormsq = jnp.sum(xtail * xtail, axis=1, keepdims=True)
+    norm = jnp.sqrt(alpha * alpha + xnormsq)
+    beta = jnp.where(alpha >= 0, -norm, norm)
+    trivial = xnormsq == 0
+    safe_beta = jnp.where(trivial, f1, beta)
+    tau = jnp.where(trivial, 0.0, (beta - alpha) / safe_beta)
+    tau = jnp.where(active, tau, 0.0)       # (S, 1)
+    denom = jnp.where(trivial, f1, alpha - beta)
+    v = xtail / denom
+    lane0 = (lane_b[0] == 0).astype(jnp.float32)
+    v = v * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
+
+    v_l = v[:, None, :]                     # (S, 1, b) lanes
+    v_sub = v_l.reshape(n_sl, b, 1)         # (S, b, 1) sublanes
+    tau3 = tau[:, :, None]                  # (S, 1, 1)
+
+    # A10 (rows I, cols [0,b)) stored transposed at wt[:, :b, b:2b]
+    a10t = wt[:, 0:b, b:w]
+    u1 = jnp.sum(a10t * v_l, axis=2, keepdims=True)       # (S, b, 1)
+    a10t = a10t - tau3 * u1 * v_l
+
+    # A11 (rows/cols I), lower part at wt[:, b:2b, b:2b]
+    l11 = wt[:, b:w, b:w] * tril_mask       # [q, p], valid p >= q
+    t1 = jnp.sum(l11 * v_sub, axis=1, keepdims=True)      # (S, 1, b)
+    # strict-upper mirror: (A11 v)[q] += sum_{p>q} W[q, p] v[p]
+    strict_gt = (lane_b > sub_b).astype(jnp.float32)      # (1, b, b)
+    t2 = jnp.sum(wt[:, b:w, b:w] * strict_gt * v_l,
+                 axis=2, keepdims=True)                   # (S, b, 1)
+    y = t1 + t2.reshape(n_sl, 1, b)                       # A11 v, lanes
+    vav = jnp.sum(y * v_l, axis=2, keepdims=True)         # (S, 1, 1)
+    wvec = tau3 * y - 0.5 * tau3 * tau3 * vav * v_l       # (S, 1, b)
+    w_sub = wvec.reshape(n_sl, b, 1)
+    upd = v_sub * wvec + w_sub * v_l                      # (S, b, b)
+    l11_new = wt[:, b:w, b:w] - upd * tril_mask
+
+    # A21 (rows [2b,3b), cols I) stored transposed at wt[:, b:2b, 2b:3b]
+    a21t = wt[:, b:w, 2 * b : 3 * b]
+    y2 = jnp.sum(a21t * v_sub, axis=1, keepdims=True)     # (S, 1, b)
+    a21t = a21t - tau3 * v_sub * y2
+
+    wt = jnp.concatenate(
+        [
+            jnp.concatenate([wt[:, 0:b, 0:b], a10t, wt[:, 0:b, 2 * b :]], axis=2),
+            jnp.concatenate([wt[:, b:w, 0:b], l11_new, a21t,
+                             wt[:, b:w, 3 * b :]], axis=2),
+        ],
+        axis=1,
+    )
+    return wt, v, tau
+
+
 def _chase_kernel(
     n, b, s_slots, stride, tb, t_total, pad_f, lanes, ablate, t0, ladder,
     *refs,
@@ -165,73 +243,7 @@ def _chase_kernel(
     i32 = jnp.int32
 
     def window_update(wt, n_sl, s0, vmax, k0):
-        """One chase step's reflectors on the sheared windows of slots
-        [s0, s0+n_sl); returns (wt_new, v, tau)."""
-        svec = i32(s0) + lax.broadcasted_iota(jnp.int32, (n_sl, 1), 0)
-
-        # per-slot schedule
-        v_s = vmax - svec                       # (S, 1)
-        k_s = k0 + i32(3) * svec
-        r0_s = v_s + i32(1) + k_s * i32(b)
-        active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
-
-        # reflector source: window col b-1 (sweep start) or col 0
-        x0 = wt[:, b - 1, b:w]                  # (S, b)
-        x1 = wt[:, 0, b:w]
-        x = jnp.where((k_s == i32(0)) & (k0 == i32(0)), x0, x1)
-
-        # batched branch-free larfg (LAPACK dlarfg conventions)
-        alpha = x[:, 0:1]
-        xtail = x * (lane_b[0] > 0).astype(jnp.float32)
-        xnormsq = jnp.sum(xtail * xtail, axis=1, keepdims=True)
-        norm = jnp.sqrt(alpha * alpha + xnormsq)
-        beta = jnp.where(alpha >= 0, -norm, norm)
-        trivial = xnormsq == 0
-        safe_beta = jnp.where(trivial, f1, beta)
-        tau = jnp.where(trivial, 0.0, (beta - alpha) / safe_beta)
-        tau = jnp.where(active, tau, 0.0)       # (S, 1)
-        denom = jnp.where(trivial, f1, alpha - beta)
-        v = xtail / denom
-        lane0 = (lane_b[0] == 0).astype(jnp.float32)
-        v = v * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
-
-        v_l = v[:, None, :]                     # (S, 1, b) lanes
-        v_sub = v_l.reshape(n_sl, b, 1)         # (S, b, 1) sublanes
-        tau3 = tau[:, :, None]                  # (S, 1, 1)
-
-        # A10 (rows I, cols [0,b)) stored transposed at wt[:, :b, b:2b]
-        a10t = wt[:, 0:b, b:w]
-        u1 = jnp.sum(a10t * v_l, axis=2, keepdims=True)       # (S, b, 1)
-        a10t = a10t - tau3 * u1 * v_l
-
-        # A11 (rows/cols I), lower part at wt[:, b:2b, b:2b]
-        l11 = wt[:, b:w, b:w] * tril_mask       # [q, p], valid p >= q
-        t1 = jnp.sum(l11 * v_sub, axis=1, keepdims=True)      # (S, 1, b)
-        # strict-upper mirror: (A11 v)[q] += sum_{p>q} W[q, p] v[p]
-        strict_gt = (lane_b > sub_b).astype(jnp.float32)      # (1, b, b)
-        t2 = jnp.sum(wt[:, b:w, b:w] * strict_gt * v_l,
-                     axis=2, keepdims=True)                   # (S, b, 1)
-        y = t1 + t2.reshape(n_sl, 1, b)                       # A11 v, lanes
-        vav = jnp.sum(y * v_l, axis=2, keepdims=True)         # (S, 1, 1)
-        wvec = tau3 * y - 0.5 * tau3 * tau3 * vav * v_l       # (S, 1, b)
-        w_sub = wvec.reshape(n_sl, b, 1)
-        upd = v_sub * wvec + w_sub * v_l                      # (S, b, b)
-        l11_new = wt[:, b:w, b:w] - upd * tril_mask
-
-        # A21 (rows [2b,3b), cols I) stored transposed at wt[:, b:2b, 2b:3b]
-        a21t = wt[:, b:w, 2 * b : 3 * b]
-        y2 = jnp.sum(a21t * v_sub, axis=1, keepdims=True)     # (S, 1, b)
-        a21t = a21t - tau3 * v_sub * y2
-
-        wt = jnp.concatenate(
-            [
-                jnp.concatenate([wt[:, 0:b, 0:b], a10t, wt[:, 0:b, 2 * b :]], axis=2),
-                jnp.concatenate([wt[:, b:w, 0:b], l11_new, a21t,
-                                 wt[:, b:w, 3 * b :]], axis=2),
-            ],
-            axis=1,
-        )
-        return wt, v, tau
+        return _window_update(wt, n_sl, s0, vmax, k0, n, b)
 
     def step(i, carry):
         t = i32(t0) + g.astype(i32) * i32(tb) + i
@@ -334,6 +346,177 @@ def _chase_kernel(
         return carry
 
     lax.fori_loop(i32(0), i32(tb), step, i32(0))
+
+
+def _chase_kernel_b3(
+    n, b, s_slots, stride, tb, t_total, pad_f, lanes, t0, ladder, *refs
+):
+    """vmax-BATCHED chase kernel: the 3 sub-steps (k0 = 0, 1, 2) of one
+    wavefront index vmax share ONE band read/write round trip instead of
+    three (ROADMAP r4 #1). Sub-step j's strip is band rows
+    [start_s + j*b, start_s + j*b + 2b), start_s = vmax+1-b+stride*s, so
+    the union per slot is 4b rows; the extra b rows beyond the 3b chunk
+    come from the NEXT slot's chunk via one slot-axis roll plus one
+    sublane roll (slot s rows [3b-d_s, 3b) sit at next-chunk positions
+    r+1 after its subroll; rows [3b, 4b) are its positions [1, b+1)).
+
+    Between sub-steps the 1-sweep-later slot writes rows the 1-sweep-
+    earlier slot reads next: after sub-step 0, slot s rows [3b-1, 4b)
+    refresh from slot s+1 rows [0, b+1); after sub-step 1, row 4b-1
+    refreshes from slot s+1 row b. Dependencies flow ONLY from s+1 to s
+    (verified window-by-window), so slot GROUPS are processed in
+    DESCENDING order and each group hands its slot-0 post-sub-step rows
+    up to the group above in registers (h0/h1) -- the band cannot carry
+    them because each group's trimmed write starts below its slot-0
+    strip top.
+
+    Write-back ownership: the last writer of band row start_s + r is
+    slot s-1's sub-step 2 for r in [0, b+1) and slot s itself above
+    that, so slot s owns rows [start_s + b+1, start_s + 4b) -- exactly
+    stride rows, tiling the band. The (n_sl, 3b) write image is built
+    with two strided sublane rolls (slab placement offset is linear in
+    the slot index) plus one slot roll for the spill of slab s-1's tail
+    into chunk s's head.
+    """
+    band_in, band_out, vt_ref, tau_ref = refs
+    g = pl.program_id(0)
+    w = 2 * b
+    chunk = 3 * b
+    fourb = 4 * b
+    i32 = jnp.int32
+
+    @pl.when(g == 0)
+    def _():
+        band_out[:, :] = band_in[:, :]
+
+    n_groups = -(-s_slots // b)
+
+    def batch(ib, carry):
+        tbase = i32(t0) + g.astype(i32) * i32(tb) + i32(3) * ib
+        vmax = tbase // i32(3)  # tbase % 3 == 0 (t0 and tb multiples of 3)
+        start = vmax + i32(1) - i32(b) + i32(pad_f)
+        h0 = None  # group-below slot-0 rows [0, b+1) after sub-step 0
+        h1 = None  # group-below slot-0 row b after sub-step 1
+        for gi in range(n_groups - 1, -1, -1):
+            s0 = gi * b
+            n_sl = min(b, s_slots - s0)
+            base = start + i32(stride * s0) - i32(n_sl - 1)
+            ch = band_out[pl.ds(base, n_sl * chunk), :].reshape(
+                n_sl, chunk, w
+            )
+            ch = _subroll(ch, n_sl, chunk, up=True, ladder=ladder)
+            tail = band_out[pl.ds(base + i32(n_sl * chunk), b), :]  # (b, w)
+            s_col = lax.broadcasted_iota(jnp.int32, (n_sl, 1, 1), 0)
+            last = s_col == n_sl - 1
+            if n_sl > 1:
+                nxt0 = pltpu.roll(ch, shift=jnp.int32(n_sl - 1), axis=0)
+                nshift = pltpu.roll(nxt0, shift=jnp.int32(chunk - 1), axis=1)
+                r_i = lax.broadcasted_iota(jnp.int32, (n_sl, chunk, 1), 1)
+                s_i = lax.broadcasted_iota(jnp.int32, (n_sl, chunk, 1), 0)
+                # slot s chunk rows [0, 3b - d_s) valid, d_s = n_sl-1-s
+                top = jnp.where(r_i < i32(chunk - n_sl + 1) + s_i, ch, nshift)
+                ext = jnp.where(
+                    last, jnp.broadcast_to(tail[None], (n_sl, b, w)),
+                    nxt0[:, 1 : b + 1, :],
+                )
+            else:
+                top = ch
+                ext = tail[None]
+            view = jnp.concatenate([top, ext], axis=1)  # (n_sl, 4b, w)
+
+            h0_new = h1_new = None
+            for j in range(3):
+                strip = view[:, j * b : j * b + w, :]
+                pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
+                wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes,
+                            False, ladder)
+                wt, v, tau = _window_update(wt, n_sl, s0, vmax, i32(j), n, b)
+                strip_new = _shear(wt, w, lanes, True, ladder)[:, :, :w]
+                view = jnp.concatenate(
+                    [view[:, : j * b], strip_new, view[:, j * b + w :]],
+                    axis=1,
+                )
+                vt_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl, :] = v[None]
+                tau_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl] = (
+                    tau[:, 0][None]
+                )
+                if j == 0:
+                    h0_new = view[0:1, 0 : b + 1, :]
+                    # refresh rows [3b-1, 4b) from slot s+1 rows [0, b+1)
+                    if n_sl > 1:
+                        nx = pltpu.roll(view, shift=jnp.int32(n_sl - 1),
+                                        axis=0)
+                        repl = nx[:, 0 : b + 1, :]
+                    else:
+                        repl = view[:, chunk - 1 : fourb, :]
+                    if h0 is not None:
+                        repl = jnp.where(
+                            last, jnp.broadcast_to(h0, (n_sl, b + 1, w)),
+                            repl,
+                        )
+                    else:
+                        repl = jnp.where(last, view[:, chunk - 1 :, :], repl)
+                    view = jnp.concatenate(
+                        [view[:, : chunk - 1, :], repl], axis=1
+                    )
+                elif j == 1:
+                    h1_new = view[0:1, b : b + 1, :]
+                    # refresh row 4b-1 from slot s+1 row b
+                    if n_sl > 1:
+                        nx = pltpu.roll(view, shift=jnp.int32(n_sl - 1),
+                                        axis=0)
+                        repl = nx[:, b : b + 1, :]
+                    else:
+                        repl = view[:, fourb - 1 : fourb, :]
+                    if h1 is not None:
+                        repl = jnp.where(
+                            last, jnp.broadcast_to(h1, (n_sl, 1, w)), repl
+                        )
+                    else:
+                        repl = jnp.where(
+                            last, view[:, fourb - 1 : fourb, :], repl
+                        )
+                    view = jnp.concatenate(
+                        [view[:, : fourb - 1, :], repl], axis=1
+                    )
+            h0, h1 = h0_new, h1_new
+
+            # ownership-tiled write image: chunk t rows r host slab t at
+            # offset d'_t = n_sl - t (main) and slab t-1's tail (spill)
+            # for r < d'_t; both placements are linear in t -> strided
+            # sublane rolls. Chunk 0's head keeps the main rule: for the
+            # group above it is garbage that group overwrites; for the
+            # global top group it is slot 0's own (correct) rows.
+            shift_main = (n_sl - b - 1) % fourb
+            main = pltpu.roll(view, shift=jnp.int32(shift_main), axis=1,
+                              stride=fourb - 1, stride_axis=0)
+            if n_sl > 1:
+                sp0 = pltpu.roll(view, shift=jnp.int32(1), axis=0)
+                spill = pltpu.roll(sp0, shift=jnp.int32(n_sl % fourb),
+                                   axis=1, stride=fourb - 1, stride_axis=0)
+                r4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 1)
+                s4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 0)
+                out = jnp.where((r4 + s4 < i32(n_sl)) & (s4 > 0), spill,
+                                main)
+            else:
+                out = main
+            base_w = start + i32(stride * s0) + i32(b + 1 - n_sl)
+            band_out[pl.ds(base_w, chunk * n_sl), :] = out[
+                :, :chunk, :
+            ].reshape(n_sl * chunk, w)
+            if gi == 0:
+                # the write image starts b+1-n_sl rows BELOW slot 0's
+                # strip top; for non-top groups the group above owns
+                # (and rewrites) those rows, but the topmost group must
+                # write them itself -- slot 0's sub-step-0 update is
+                # their final value (dropping them corrupts e[r0-1]
+                # whenever n_sl == 1, the wavefront-tail phases)
+                band_out[pl.ds(start, b + 1 - n_sl), :] = view[
+                    0, 0 : b + 1 - n_sl, :
+                ]
+        return carry
+
+    lax.fori_loop(i32(0), i32(tb // 3), batch, i32(0))
 
 
 def _chase_kernel_planar(
@@ -632,8 +815,11 @@ def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("b", "tb", "interpret", "ablate"))
-def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
+@functools.partial(
+    jax.jit, static_argnames=("b", "tb", "interpret", "ablate", "batch3")
+)
+def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None,
+                       batch3=False):
     """Pallas counterpart of ops/sb2st.bulge_chase (fp32).
 
     band: (n, 2b) lower band storage (see sb2st.dense_to_band).
@@ -645,6 +831,10 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
     disables pieces of the per-step work FOR COST ATTRIBUTION ONLY
     (benchmarks/chase_micro.py); every non-None mode returns wrong
     results by design.
+
+    ``batch3`` runs the vmax-batched kernel (_chase_kernel_b3): one band
+    round trip per 3 timesteps instead of 3 (requires b % 8 == 0).
+    Output-identical schedule; A/B via benchmarks/chase_micro.py.
     """
     n = band.shape[0]
     w = 2 * b
@@ -654,6 +844,8 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
         raise TypeError("bulge_chase_pallas is fp32-only; use the XLA chase")
     if tb % 3 != 0:
         raise ValueError(f"tb must be a multiple of 3, got {tb}")
+    if batch3 and (b % 8 != 0 or ablate is not None):
+        raise ValueError("batch3 requires b % 8 == 0 and ablate=None")
     kmax = max((n - 3) // b, 0)
     s_slots = kmax // 3 + 1
     t_total = 3 * (n - 3) + 1 if n > 3 else 1
@@ -664,8 +856,9 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
     t3 = grid * tb
     pad_f = 2 * b
     # back padding covers the largest slot read at the largest timestep
-    # (start_max + S*stride with start_max <= (t3-1)//3 + 1 + b)
-    pad_b = s_slots * stride + w + tb // 3 + b + 4
+    # (start_max + S*stride with start_max <= (t3-1)//3 + 1 + b); +2b
+    # more for the batch3 kernel's tail read and deeper write
+    pad_b = s_slots * stride + w + tb // 3 + 3 * b + 4
     npad = n + pad_f + pad_b
     band_p = jnp.zeros((npad, w), jnp.float32)
     band_p = lax.dynamic_update_slice(band_p, band, (pad_f, 0))
@@ -695,10 +888,16 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None):
     ladder = _ladder_choice(interpret)
     vts, taus = [], []
     for p0, nblk, s_p in phases:
-        kernel = functools.partial(
-            _chase_kernel, n, b, s_p, stride, tb, t_total, pad_f, lanes,
-            ablate, p0 * tb, ladder,
-        )
+        if batch3:
+            kernel = functools.partial(
+                _chase_kernel_b3, n, b, s_p, stride, tb, t_total, pad_f,
+                lanes, p0 * tb, ladder,
+            )
+        else:
+            kernel = functools.partial(
+                _chase_kernel, n, b, s_p, stride, tb, t_total, pad_f, lanes,
+                ablate, p0 * tb, ladder,
+            )
         band_p, vt_p, tau_p = pl.pallas_call(
             kernel,
             grid=(nblk,),

@@ -1,5 +1,7 @@
 """Pallas bulge chase vs the XLA chase (interpret mode on CPU)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -141,3 +143,42 @@ def test_chase_ladder_fallback_spectrum():
     wz = np.sort(scipy.linalg.eigvalsh(triz))
     scale = max(1.0, np.abs(wz_ref).max())
     assert np.abs(wz - wz_ref).max() / scale < 5e-5
+
+
+def test_batch3_bitexact_vs_per_timestep():
+    """The vmax-batched kernel (batch3: 3 sub-steps per band round trip,
+    _chase_kernel_b3) must be BIT-IDENTICAL to the per-timestep kernel:
+    the window arithmetic is the same code on the same values; only the
+    band<->register staging (neighbor-exchange view, ownership-tiled
+    write) differs, so any staging bug shows as a nonzero diff."""
+    n, b = 96, 8
+    rng = np.random.default_rng(3)
+    a = _rand_band(rng, n, b)
+    band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    r0 = bulge_chase_pallas(band, b, tb=6, interpret=True)
+    r1 = bulge_chase_pallas(band, b, tb=6, interpret=True, batch3=True)
+    for name, x0, x1 in zip(["d", "e", "vt", "tau"], r0, r1):
+        np.testing.assert_array_equal(
+            np.asarray(x0), np.asarray(x1), err_msg=name
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("EIGSOLVE_SLOW_TESTS"),
+    reason="multi-group batch3 needs n >= 3b^2+3 (~4 min interpret); "
+    "run with EIGSOLVE_SLOW_TESTS=1 (validated bit-exact at n=224 in "
+    "round 5)",
+)
+def test_batch3_bitexact_multigroup():
+    """s_slots > b: two slot groups, exercising the cross-group h0/h1
+    handoff and the descending group order."""
+    n, b = 224, 8
+    rng = np.random.default_rng(5)
+    a = _rand_band(rng, n, b)
+    band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    r0 = bulge_chase_pallas(band, b, tb=24, interpret=True)
+    r1 = bulge_chase_pallas(band, b, tb=24, interpret=True, batch3=True)
+    for name, x0, x1 in zip(["d", "e", "vt", "tau"], r0, r1):
+        np.testing.assert_array_equal(
+            np.asarray(x0), np.asarray(x1), err_msg=name
+        )
