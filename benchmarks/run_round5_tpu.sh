@@ -50,6 +50,9 @@ run ts4096noql env EIGSOLVE_NO_QL_KERNEL=1 python benchmarks/two_stage.py 4096
 run tsp4096 python benchmarks/two_stage_planar.py 4096
 run tsp8192 python benchmarks/two_stage_planar.py 8192
 
+# 4b. planar two-stage with the vmax-batched chase (round 5)
+run tsp4096b3 env EIGSOLVE_CHASE_BATCH3=1 python benchmarks/two_stage_planar.py 4096
+
 # 5. headline pre-warm + record (honest flop model, A100 pin line)
 run bench python bench.py
 

@@ -103,7 +103,9 @@ def main():
             bulge_chase_planar_pallas,
         )
 
-        d, e, vt, taut = bulge_chase_planar_pallas(br_, bi_, b)
+        # EIGSOLVE_CHASE_BATCH3=1 times the vmax-batched kernel
+        b3 = bool(os.environ.get("EIGSOLVE_CHASE_BATCH3")) and b % 8 == 0
+        d, e, vt, taut = bulge_chase_planar_pallas(br_, bi_, b, batch3=b3)
         return jnp.sum(d) + jnp.sum(e[0]), vt, taut
 
     @jax.jit

@@ -243,12 +243,20 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
                 and (3 * cfg.band) % 8 == 0
                 and kernel_ok("chase_planar")
             ):
+                import os as _os
+
                 from eigensolver_gpu_tpu.ops.chase_pallas import (
                     bulge_chase_planar_pallas,
                 )
 
+                # EIGSOLVE_CHASE_BATCH3=1: vmax-batched kernel (one band
+                # round trip per 3 timesteps per plane, bit-identical
+                # outputs) -- A/B lever, default off until measured
+                b3 = bool(_os.environ.get("EIGSOLVE_CHASE_BATCH3")) and (
+                    cfg.band % 8 == 0
+                )
                 d, (e_r, e_i), vt, taut = bulge_chase_planar_pallas(
-                    band_r, band_i, cfg.band
+                    band_r, band_i, cfg.band, batch3=b3
                 )
             else:
                 d, (e_r, e_i), vt, taut = bulge_chase_planar(

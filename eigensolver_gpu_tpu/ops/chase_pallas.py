@@ -349,16 +349,21 @@ def _chase_kernel(
 
 
 def _chase_kernel_b3(
-    n, b, s_slots, stride, tb, t_total, pad_f, lanes, t0, ladder, *refs
+    n, b, s_slots, stride, tb, t_total, pad_f, lanes, t0, ladder, planar,
+    *refs,
 ):
     """vmax-BATCHED chase kernel: the 3 sub-steps (k0 = 0, 1, 2) of one
     wavefront index vmax share ONE band read/write round trip instead of
-    three (ROADMAP r4 #1). Sub-step j's strip is band rows
-    [start_s + j*b, start_s + j*b + 2b), start_s = vmax+1-b+stride*s, so
-    the union per slot is 4b rows; the extra b rows beyond the 3b chunk
-    come from the NEXT slot's chunk via one slot-axis roll plus one
-    sublane roll (slot s rows [3b-d_s, 3b) sit at next-chunk positions
-    r+1 after its subroll; rows [3b, 4b) are its positions [1, b+1)).
+    three (ROADMAP r4 #1). Handles the real band (planar=False, 4 refs)
+    and the planar complex pair (planar=True, 8 refs) with identical
+    staging applied per plane.
+
+    Sub-step j's strip is band rows [start_s + j*b, start_s + j*b + 2b),
+    start_s = vmax+1-b+stride*s, so the union per slot is 4b rows; the
+    extra b rows beyond the 3b chunk come from the NEXT slot's chunk via
+    one slot-axis roll plus one sublane roll (slot s rows [3b-d_s, 3b)
+    sit at next-chunk positions r+1 after its subroll; rows [3b, 4b) are
+    its positions [1, b+1)).
 
     Between sub-steps the 1-sweep-later slot writes rows the 1-sweep-
     earlier slot reads next: after sub-step 0, slot s rows [3b-1, 4b)
@@ -376,9 +381,15 @@ def _chase_kernel_b3(
     stride rows, tiling the band. The (n_sl, 3b) write image is built
     with two strided sublane rolls (slab placement offset is linear in
     the slot index) plus one slot roll for the spill of slab s-1's tail
-    into chunk s's head.
+    into chunk s's head; the topmost group additionally writes its
+    b+1-n_sl head rows (slot 0's sub-step-0 update is their final
+    value).
     """
-    band_in, band_out, vt_ref, tau_ref = refs
+    np_ = 2 if planar else 1
+    b_ins = refs[0:np_]
+    b_outs = refs[np_ : 2 * np_]
+    vt_refs = refs[2 * np_ : 3 * np_]
+    tau_refs = refs[3 * np_ : 4 * np_]
     g = pl.program_id(0)
     w = 2 * b
     chunk = 3 * b
@@ -387,7 +398,8 @@ def _chase_kernel_b3(
 
     @pl.when(g == 0)
     def _():
-        band_out[:, :] = band_in[:, :]
+        for bin_, bout_ in zip(b_ins, b_outs):
+            bout_[:, :] = bin_[:, :]
 
     n_groups = -(-s_slots // b)
 
@@ -401,84 +413,127 @@ def _chase_kernel_b3(
             s0 = gi * b
             n_sl = min(b, s_slots - s0)
             base = start + i32(stride * s0) - i32(n_sl - 1)
-            ch = band_out[pl.ds(base, n_sl * chunk), :].reshape(
-                n_sl, chunk, w
-            )
-            ch = _subroll(ch, n_sl, chunk, up=True, ladder=ladder)
-            tail = band_out[pl.ds(base + i32(n_sl * chunk), b), :]  # (b, w)
             s_col = lax.broadcasted_iota(jnp.int32, (n_sl, 1, 1), 0)
             last = s_col == n_sl - 1
-            if n_sl > 1:
-                nxt0 = pltpu.roll(ch, shift=jnp.int32(n_sl - 1), axis=0)
-                nshift = pltpu.roll(nxt0, shift=jnp.int32(chunk - 1), axis=1)
-                r_i = lax.broadcasted_iota(jnp.int32, (n_sl, chunk, 1), 1)
-                s_i = lax.broadcasted_iota(jnp.int32, (n_sl, chunk, 1), 0)
-                # slot s chunk rows [0, 3b - d_s) valid, d_s = n_sl-1-s
-                top = jnp.where(r_i < i32(chunk - n_sl + 1) + s_i, ch, nshift)
-                ext = jnp.where(
-                    last, jnp.broadcast_to(tail[None], (n_sl, b, w)),
-                    nxt0[:, 1 : b + 1, :],
+            views = []
+            for bo in b_outs:
+                ch = bo[pl.ds(base, n_sl * chunk), :].reshape(
+                    n_sl, chunk, w
                 )
-            else:
-                top = ch
-                ext = tail[None]
-            view = jnp.concatenate([top, ext], axis=1)  # (n_sl, 4b, w)
+                ch = _subroll(ch, n_sl, chunk, up=True, ladder=ladder)
+                tail = bo[pl.ds(base + i32(n_sl * chunk), b), :]  # (b, w)
+                if n_sl > 1:
+                    nxt0 = pltpu.roll(ch, shift=jnp.int32(n_sl - 1), axis=0)
+                    nshift = pltpu.roll(nxt0, shift=jnp.int32(chunk - 1),
+                                        axis=1)
+                    r_i = lax.broadcasted_iota(jnp.int32, (n_sl, chunk, 1), 1)
+                    s_i = lax.broadcasted_iota(jnp.int32, (n_sl, chunk, 1), 0)
+                    # slot s chunk rows [0, 3b - d_s) valid, d_s = n_sl-1-s
+                    top = jnp.where(r_i < i32(chunk - n_sl + 1) + s_i, ch,
+                                    nshift)
+                    ext = jnp.where(
+                        last, jnp.broadcast_to(tail[None], (n_sl, b, w)),
+                        nxt0[:, 1 : b + 1, :],
+                    )
+                else:
+                    top = ch
+                    ext = tail[None]
+                views.append(jnp.concatenate([top, ext], axis=1))
 
             h0_new = h1_new = None
             for j in range(3):
-                strip = view[:, j * b : j * b + w, :]
                 pad = jnp.zeros((n_sl, w, lanes - w), jnp.float32)
-                wt = _shear(jnp.concatenate([strip, pad], axis=2), w, lanes,
-                            False, ladder)
-                wt, v, tau = _window_update(wt, n_sl, s0, vmax, i32(j), n, b)
-                strip_new = _shear(wt, w, lanes, True, ladder)[:, :, :w]
-                view = jnp.concatenate(
-                    [view[:, : j * b], strip_new, view[:, j * b + w :]],
-                    axis=1,
-                )
-                vt_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl, :] = v[None]
-                tau_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl] = (
-                    tau[:, 0][None]
-                )
+                wts = [
+                    _shear(
+                        jnp.concatenate([v[:, j * b : j * b + w, :], pad],
+                                        axis=2),
+                        w, lanes, False, ladder,
+                    )
+                    for v in views
+                ]
+                if planar:
+                    wtr, wti, v_r, v_i, tau_r, tau_i = _window_update_planar(
+                        wts[0], wts[1], n_sl, s0, vmax, i32(j), n, b
+                    )
+                    wts = [wtr, wti]
+                    vs = [v_r, v_i]
+                    taus = [tau_r, tau_i]
+                else:
+                    wt, v, tau = _window_update(
+                        wts[0], n_sl, s0, vmax, i32(j), n, b
+                    )
+                    wts = [wt]
+                    vs = [v]
+                    taus = [tau]
+                views = [
+                    jnp.concatenate(
+                        [
+                            v[:, : j * b],
+                            _shear(wt_, w, lanes, True, ladder)[:, :, :w],
+                            v[:, j * b + w :],
+                        ],
+                        axis=1,
+                    )
+                    for v, wt_ in zip(views, wts)
+                ]
+                for vt_ref, vv in zip(vt_refs, vs):
+                    vt_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl, :] = (
+                        vv[None]
+                    )
+                for tau_ref, tt in zip(tau_refs, taus):
+                    tau_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl] = (
+                        tt[:, 0][None]
+                    )
                 if j == 0:
-                    h0_new = view[0:1, 0 : b + 1, :]
+                    h0_new = [v[0:1, 0 : b + 1, :] for v in views]
                     # refresh rows [3b-1, 4b) from slot s+1 rows [0, b+1)
-                    if n_sl > 1:
-                        nx = pltpu.roll(view, shift=jnp.int32(n_sl - 1),
-                                        axis=0)
-                        repl = nx[:, 0 : b + 1, :]
-                    else:
-                        repl = view[:, chunk - 1 : fourb, :]
-                    if h0 is not None:
-                        repl = jnp.where(
-                            last, jnp.broadcast_to(h0, (n_sl, b + 1, w)),
-                            repl,
+                    new_views = []
+                    for p, v in enumerate(views):
+                        if n_sl > 1:
+                            nx = pltpu.roll(v, shift=jnp.int32(n_sl - 1),
+                                            axis=0)
+                            repl = nx[:, 0 : b + 1, :]
+                        else:
+                            repl = v[:, chunk - 1 : fourb, :]
+                        if h0 is not None:
+                            repl = jnp.where(
+                                last,
+                                jnp.broadcast_to(h0[p], (n_sl, b + 1, w)),
+                                repl,
+                            )
+                        else:
+                            repl = jnp.where(last, v[:, chunk - 1 :, :],
+                                             repl)
+                        new_views.append(
+                            jnp.concatenate([v[:, : chunk - 1, :], repl],
+                                            axis=1)
                         )
-                    else:
-                        repl = jnp.where(last, view[:, chunk - 1 :, :], repl)
-                    view = jnp.concatenate(
-                        [view[:, : chunk - 1, :], repl], axis=1
-                    )
+                    views = new_views
                 elif j == 1:
-                    h1_new = view[0:1, b : b + 1, :]
+                    h1_new = [v[0:1, b : b + 1, :] for v in views]
                     # refresh row 4b-1 from slot s+1 row b
-                    if n_sl > 1:
-                        nx = pltpu.roll(view, shift=jnp.int32(n_sl - 1),
-                                        axis=0)
-                        repl = nx[:, b : b + 1, :]
-                    else:
-                        repl = view[:, fourb - 1 : fourb, :]
-                    if h1 is not None:
-                        repl = jnp.where(
-                            last, jnp.broadcast_to(h1, (n_sl, 1, w)), repl
+                    new_views = []
+                    for p, v in enumerate(views):
+                        if n_sl > 1:
+                            nx = pltpu.roll(v, shift=jnp.int32(n_sl - 1),
+                                            axis=0)
+                            repl = nx[:, b : b + 1, :]
+                        else:
+                            repl = v[:, fourb - 1 : fourb, :]
+                        if h1 is not None:
+                            repl = jnp.where(
+                                last, jnp.broadcast_to(h1[p], (n_sl, 1, w)),
+                                repl,
+                            )
+                        else:
+                            repl = jnp.where(
+                                last, v[:, fourb - 1 : fourb, :], repl
+                            )
+                        new_views.append(
+                            jnp.concatenate([v[:, : fourb - 1, :], repl],
+                                            axis=1)
                         )
-                    else:
-                        repl = jnp.where(
-                            last, view[:, fourb - 1 : fourb, :], repl
-                        )
-                    view = jnp.concatenate(
-                        [view[:, : fourb - 1, :], repl], axis=1
-                    )
+                    views = new_views
             h0, h1 = h0_new, h1_new
 
             # ownership-tiled write image: chunk t rows r host slab t at
@@ -488,35 +543,157 @@ def _chase_kernel_b3(
             # group above it is garbage that group overwrites; for the
             # global top group it is slot 0's own (correct) rows.
             shift_main = (n_sl - b - 1) % fourb
-            main = pltpu.roll(view, shift=jnp.int32(shift_main), axis=1,
-                              stride=fourb - 1, stride_axis=0)
-            if n_sl > 1:
-                sp0 = pltpu.roll(view, shift=jnp.int32(1), axis=0)
-                spill = pltpu.roll(sp0, shift=jnp.int32(n_sl % fourb),
-                                   axis=1, stride=fourb - 1, stride_axis=0)
-                r4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 1)
-                s4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 0)
-                out = jnp.where((r4 + s4 < i32(n_sl)) & (s4 > 0), spill,
-                                main)
-            else:
-                out = main
             base_w = start + i32(stride * s0) + i32(b + 1 - n_sl)
-            band_out[pl.ds(base_w, chunk * n_sl), :] = out[
-                :, :chunk, :
-            ].reshape(n_sl * chunk, w)
-            if gi == 0:
-                # the write image starts b+1-n_sl rows BELOW slot 0's
-                # strip top; for non-top groups the group above owns
-                # (and rewrites) those rows, but the topmost group must
-                # write them itself -- slot 0's sub-step-0 update is
-                # their final value (dropping them corrupts e[r0-1]
-                # whenever n_sl == 1, the wavefront-tail phases)
-                band_out[pl.ds(start, b + 1 - n_sl), :] = view[
-                    0, 0 : b + 1 - n_sl, :
-                ]
+            for bo, v in zip(b_outs, views):
+                main = pltpu.roll(v, shift=jnp.int32(shift_main), axis=1,
+                                  stride=fourb - 1, stride_axis=0)
+                if n_sl > 1:
+                    sp0 = pltpu.roll(v, shift=jnp.int32(1), axis=0)
+                    spill = pltpu.roll(sp0, shift=jnp.int32(n_sl % fourb),
+                                       axis=1, stride=fourb - 1,
+                                       stride_axis=0)
+                    r4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 1)
+                    s4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 0)
+                    out = jnp.where((r4 + s4 < i32(n_sl)) & (s4 > 0), spill,
+                                    main)
+                else:
+                    out = main
+                bo[pl.ds(base_w, chunk * n_sl), :] = out[
+                    :, :chunk, :
+                ].reshape(n_sl * chunk, w)
+                if gi == 0:
+                    # the topmost group must write its own head rows --
+                    # slot 0's sub-step-0 update is their final value
+                    # (dropping them corrupts e[r0-1] whenever n_sl == 1,
+                    # the wavefront-tail phases)
+                    bo[pl.ds(start, b + 1 - n_sl), :] = v[
+                        0, 0 : b + 1 - n_sl, :
+                    ]
         return carry
 
     lax.fori_loop(i32(0), i32(tb // 3), batch, i32(0))
+
+
+def _window_update_planar(wtr, wti, n_sl, s0, vmax, k0, n, b):
+    """Planar complex twin of _window_update (zlarfg conventions; see
+    _chase_kernel_planar docstring for the region algebra). Shared by
+    the per-timestep and vmax-batched planar kernels."""
+    w = 2 * b
+    f1 = jnp.float32(1.0)
+    i32 = jnp.int32
+    lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    sub_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    tril_mask = (lane_b >= sub_b).astype(jnp.float32)
+    strict_gt = (lane_b > sub_b).astype(jnp.float32)
+    svec = i32(s0) + lax.broadcasted_iota(jnp.int32, (n_sl, 1), 0)
+    v_s = vmax - svec
+    k_s = k0 + i32(3) * svec
+    r0_s = v_s + i32(1) + k_s * i32(b)
+    active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
+
+    src = (k_s == i32(0)) & (k0 == i32(0))
+    x_r = jnp.where(src, wtr[:, b - 1, b:w], wtr[:, 0, b:w])
+    x_i = jnp.where(src, wti[:, b - 1, b:w], wti[:, 0, b:w])
+
+    # batched planar zlarfg (real beta, complex tau/v)
+    tail = (lane_b[0] > 0).astype(jnp.float32)
+    ar = x_r[:, 0:1]
+    ai = x_i[:, 0:1]
+    xtr = x_r * tail
+    xti = x_i * tail
+    xnormsq = jnp.sum(xtr * xtr + xti * xti, axis=1, keepdims=True)
+    norm = jnp.sqrt(ar * ar + ai * ai + xnormsq)
+    beta = jnp.where(ar >= 0, -norm, norm)
+    trivial = (xnormsq == 0) & (ai == 0)
+    safe_beta = jnp.where(trivial, f1, beta)
+    tau_r = jnp.where(trivial, 0.0, (beta - ar) / safe_beta)
+    tau_i = jnp.where(trivial, 0.0, -ai / safe_beta)
+    tau_r = jnp.where(active, tau_r, 0.0)
+    tau_i = jnp.where(active, tau_i, 0.0)
+    dr = ar - beta
+    dd = jnp.where(trivial, f1, dr * dr + ai * ai)
+    sc_r = dr / dd
+    sc_i = -ai / dd
+    v_r = xtr * sc_r - xti * sc_i
+    v_i = xtr * sc_i + xti * sc_r
+    lane0 = (lane_b[0] == 0).astype(jnp.float32)
+    v_r = v_r * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
+    v_i = v_i * (1.0 - lane0)
+
+    vr_l = v_r[:, None, :]
+    vi_l = v_i[:, None, :]
+    vr_s = vr_l.reshape(n_sl, b, 1)
+    vi_s = vi_l.reshape(n_sl, b, 1)
+    tr3 = tau_r[:, :, None]
+    ti3 = tau_i[:, :, None]
+
+    # A10^T at [:, :b, b:2b]: -= conj(tau) (A10^T conj(v)) v^T
+    a10r = wtr[:, 0:b, b:w]
+    a10i = wti[:, 0:b, b:w]
+    u1r = jnp.sum(a10r * vr_l + a10i * vi_l, axis=2, keepdims=True)
+    u1i = jnp.sum(a10i * vr_l - a10r * vi_l, axis=2, keepdims=True)
+    ctr = tr3 * u1r + ti3 * u1i
+    cti = tr3 * u1i - ti3 * u1r
+    a10r = a10r - (ctr * vr_l - cti * vi_l)
+    a10i = a10i - (ctr * vi_l + cti * vr_l)
+
+    # A11 tril at [:, b:2b, b:2b], [q=col, l=row]
+    w11r = wtr[:, b:w, b:w]
+    w11i = wti[:, b:w, b:w]
+    l11r = w11r * tril_mask
+    l11i = w11i * tril_mask
+    # y[l] = sum_{q<=l} W[q,l] v[q] + sum_{q>l... } mirror
+    t1r = jnp.sum(l11r * vr_s - l11i * vi_s, axis=1, keepdims=True)
+    t1i = jnp.sum(l11r * vi_s + l11i * vr_s, axis=1, keepdims=True)
+    # mirror: y[q] += sum_{l>q} conj(W[q,l]) v[l]
+    t2r = jnp.sum((w11r * vr_l + w11i * vi_l) * strict_gt,
+                  axis=2, keepdims=True)
+    t2i = jnp.sum((w11r * vi_l - w11i * vr_l) * strict_gt,
+                  axis=2, keepdims=True)
+    yr = t1r + t2r.reshape(n_sl, 1, b)
+    yi = t1i + t2i.reshape(n_sl, 1, b)
+    # vav = Re(v^H y) (exactly real for Hermitian A11)
+    vav = jnp.sum(vr_l * yr + vi_l * yi, axis=2, keepdims=True)
+    t2ab = tr3 * tr3 + ti3 * ti3
+    wvr = tr3 * yr - ti3 * yi - 0.5 * t2ab * vav * vr_l
+    wvi = tr3 * yi + ti3 * yr - 0.5 * t2ab * vav * vi_l
+    wr_s = wvr.reshape(n_sl, b, 1)
+    wi_s = wvi.reshape(n_sl, b, 1)
+    # upd[q,l] = conj(w[q]) v[l] + conj(v[q]) w[l]
+    upd_r = wr_s * vr_l + wi_s * vi_l + vr_s * wvr + vi_s * wvi
+    upd_i = wr_s * vi_l - wi_s * vr_l + vr_s * wvi - vi_s * wvr
+    l11_new_r = w11r - upd_r * tril_mask
+    l11_new_i = w11i - upd_i * tril_mask
+
+    # A21^T at [:, b:2b, 2b:3b]: -= tau conj(v)_sub (A21^T v)
+    a21r = wtr[:, b:w, 2 * b : 3 * b]
+    a21i = wti[:, b:w, 2 * b : 3 * b]
+    y2r = jnp.sum(a21r * vr_s - a21i * vi_s, axis=1, keepdims=True)
+    y2i = jnp.sum(a21r * vi_s + a21i * vr_s, axis=1, keepdims=True)
+    ty2r = tr3 * y2r - ti3 * y2i
+    ty2i = tr3 * y2i + ti3 * y2r
+    a21r = a21r - (vr_s * ty2r + vi_s * ty2i)
+    a21i = a21i - (vr_s * ty2i - vi_s * ty2r)
+
+    wtr = jnp.concatenate(
+        [
+            jnp.concatenate([wtr[:, 0:b, 0:b], a10r,
+                             wtr[:, 0:b, 2 * b :]], axis=2),
+            jnp.concatenate([wtr[:, b:w, 0:b], l11_new_r, a21r,
+                             wtr[:, b:w, 3 * b :]], axis=2),
+        ],
+        axis=1,
+    )
+    wti = jnp.concatenate(
+        [
+            jnp.concatenate([wti[:, 0:b, 0:b], a10i,
+                             wti[:, 0:b, 2 * b :]], axis=2),
+            jnp.concatenate([wti[:, b:w, 0:b], l11_new_i, a21i,
+                             wti[:, b:w, 3 * b :]], axis=2),
+        ],
+        axis=1,
+    )
+    return wtr, wti, v_r, v_i, tau_r, tau_i
 
 
 def _chase_kernel_planar(
@@ -552,115 +729,8 @@ def _chase_kernel_planar(
     i32 = jnp.int32
 
     def window_update(wtr, wti, n_sl, s0, vmax, k0):
-        svec = i32(s0) + lax.broadcasted_iota(jnp.int32, (n_sl, 1), 0)
-        v_s = vmax - svec
-        k_s = k0 + i32(3) * svec
-        r0_s = v_s + i32(1) + k_s * i32(b)
-        active = (v_s >= i32(0)) & (v_s <= i32(n - 3)) & (r0_s <= i32(n - 2))
+        return _window_update_planar(wtr, wti, n_sl, s0, vmax, k0, n, b)
 
-        src = (k_s == i32(0)) & (k0 == i32(0))
-        x_r = jnp.where(src, wtr[:, b - 1, b:w], wtr[:, 0, b:w])
-        x_i = jnp.where(src, wti[:, b - 1, b:w], wti[:, 0, b:w])
-
-        # batched planar zlarfg (real beta, complex tau/v)
-        tail = (lane_b[0] > 0).astype(jnp.float32)
-        ar = x_r[:, 0:1]
-        ai = x_i[:, 0:1]
-        xtr = x_r * tail
-        xti = x_i * tail
-        xnormsq = jnp.sum(xtr * xtr + xti * xti, axis=1, keepdims=True)
-        norm = jnp.sqrt(ar * ar + ai * ai + xnormsq)
-        beta = jnp.where(ar >= 0, -norm, norm)
-        trivial = (xnormsq == 0) & (ai == 0)
-        safe_beta = jnp.where(trivial, f1, beta)
-        tau_r = jnp.where(trivial, 0.0, (beta - ar) / safe_beta)
-        tau_i = jnp.where(trivial, 0.0, -ai / safe_beta)
-        tau_r = jnp.where(active, tau_r, 0.0)
-        tau_i = jnp.where(active, tau_i, 0.0)
-        dr = ar - beta
-        dd = jnp.where(trivial, f1, dr * dr + ai * ai)
-        sc_r = dr / dd
-        sc_i = -ai / dd
-        v_r = xtr * sc_r - xti * sc_i
-        v_i = xtr * sc_i + xti * sc_r
-        lane0 = (lane_b[0] == 0).astype(jnp.float32)
-        v_r = v_r * (1.0 - lane0) + jnp.where(trivial, 0.0, f1) * lane0
-        v_i = v_i * (1.0 - lane0)
-
-        vr_l = v_r[:, None, :]
-        vi_l = v_i[:, None, :]
-        vr_s = vr_l.reshape(n_sl, b, 1)
-        vi_s = vi_l.reshape(n_sl, b, 1)
-        tr3 = tau_r[:, :, None]
-        ti3 = tau_i[:, :, None]
-
-        # A10^T at [:, :b, b:2b]: -= conj(tau) (A10^T conj(v)) v^T
-        a10r = wtr[:, 0:b, b:w]
-        a10i = wti[:, 0:b, b:w]
-        u1r = jnp.sum(a10r * vr_l + a10i * vi_l, axis=2, keepdims=True)
-        u1i = jnp.sum(a10i * vr_l - a10r * vi_l, axis=2, keepdims=True)
-        ctr = tr3 * u1r + ti3 * u1i
-        cti = tr3 * u1i - ti3 * u1r
-        a10r = a10r - (ctr * vr_l - cti * vi_l)
-        a10i = a10i - (ctr * vi_l + cti * vr_l)
-
-        # A11 tril at [:, b:2b, b:2b], [q=col, l=row]
-        w11r = wtr[:, b:w, b:w]
-        w11i = wti[:, b:w, b:w]
-        l11r = w11r * tril_mask
-        l11i = w11i * tril_mask
-        # y[l] = sum_{q<=l} W[q,l] v[q] + sum_{q>l... } mirror
-        t1r = jnp.sum(l11r * vr_s - l11i * vi_s, axis=1, keepdims=True)
-        t1i = jnp.sum(l11r * vi_s + l11i * vr_s, axis=1, keepdims=True)
-        # mirror: y[q] += sum_{l>q} conj(W[q,l]) v[l]
-        t2r = jnp.sum((w11r * vr_l + w11i * vi_l) * strict_gt,
-                      axis=2, keepdims=True)
-        t2i = jnp.sum((w11r * vi_l - w11i * vr_l) * strict_gt,
-                      axis=2, keepdims=True)
-        yr = t1r + t2r.reshape(n_sl, 1, b)
-        yi = t1i + t2i.reshape(n_sl, 1, b)
-        # vav = Re(v^H y) (exactly real for Hermitian A11)
-        vav = jnp.sum(vr_l * yr + vi_l * yi, axis=2, keepdims=True)
-        t2ab = tr3 * tr3 + ti3 * ti3
-        wvr = tr3 * yr - ti3 * yi - 0.5 * t2ab * vav * vr_l
-        wvi = tr3 * yi + ti3 * yr - 0.5 * t2ab * vav * vi_l
-        wr_s = wvr.reshape(n_sl, b, 1)
-        wi_s = wvi.reshape(n_sl, b, 1)
-        # upd[q,l] = conj(w[q]) v[l] + conj(v[q]) w[l]
-        upd_r = wr_s * vr_l + wi_s * vi_l + vr_s * wvr + vi_s * wvi
-        upd_i = wr_s * vi_l - wi_s * vr_l + vr_s * wvi - vi_s * wvr
-        l11_new_r = w11r - upd_r * tril_mask
-        l11_new_i = w11i - upd_i * tril_mask
-
-        # A21^T at [:, b:2b, 2b:3b]: -= tau conj(v)_sub (A21^T v)
-        a21r = wtr[:, b:w, 2 * b : 3 * b]
-        a21i = wti[:, b:w, 2 * b : 3 * b]
-        y2r = jnp.sum(a21r * vr_s - a21i * vi_s, axis=1, keepdims=True)
-        y2i = jnp.sum(a21r * vi_s + a21i * vr_s, axis=1, keepdims=True)
-        ty2r = tr3 * y2r - ti3 * y2i
-        ty2i = tr3 * y2i + ti3 * y2r
-        a21r = a21r - (vr_s * ty2r + vi_s * ty2i)
-        a21i = a21i - (vr_s * ty2i - vi_s * ty2r)
-
-        wtr = jnp.concatenate(
-            [
-                jnp.concatenate([wtr[:, 0:b, 0:b], a10r,
-                                 wtr[:, 0:b, 2 * b :]], axis=2),
-                jnp.concatenate([wtr[:, b:w, 0:b], l11_new_r, a21r,
-                                 wtr[:, b:w, 3 * b :]], axis=2),
-            ],
-            axis=1,
-        )
-        wti = jnp.concatenate(
-            [
-                jnp.concatenate([wti[:, 0:b, 0:b], a10i,
-                                 wti[:, 0:b, 2 * b :]], axis=2),
-                jnp.concatenate([wti[:, b:w, 0:b], l11_new_i, a21i,
-                                 wti[:, b:w, 3 * b :]], axis=2),
-            ],
-            axis=1,
-        )
-        return wtr, wti, v_r, v_i, tau_r, tau_i
 
     def step(i, carry):
         t = i32(t0) + g.astype(i32) * i32(tb) + i
@@ -704,12 +774,18 @@ def _chase_kernel_planar(
     lax.fori_loop(i32(0), i32(tb), step, i32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("b", "tb", "interpret"))
-def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("b", "tb", "interpret", "batch3")
+)
+def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False,
+                              batch3=False):
     """Planar complex Mosaic bulge chase: the complex twin of
     bulge_chase_pallas (fp32, b % 8 == 0 only).  Same timestep/slot
     storage as ops/sb2st_planar.bulge_chase_planar; apply_q2_planar (or
     its Mosaic twin) replays either version's output.
+
+    ``batch3``: the vmax-batched kernel (one band round trip per 3
+    timesteps per plane, bit-identical outputs -- _chase_kernel_b3).
 
     Returns (d, (e_r, e_i), (vt_r, vt_i), (taut_r, taut_i))."""
     n = band_r.shape[0]
@@ -730,7 +806,9 @@ def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False):
 
     grid = -(-t_total // tb)
     pad_f = 2 * b
-    pad_b = s_slots * stride + w + tb // 3 + b + 4
+    # +2b extra back padding for the batch3 kernel's tail read and
+    # deeper ownership-tiled write (same formula as the real entry)
+    pad_b = s_slots * stride + w + tb // 3 + 3 * b + 4
     npad = n + pad_f + pad_b
     zero = jnp.zeros((npad, w), jnp.float32)
     bp_r = lax.dynamic_update_slice(zero, band_r, (pad_f, 0))
@@ -752,10 +830,16 @@ def bulge_chase_planar_pallas(band_r, band_i, b, tb=96, interpret=False):
     ladder = _ladder_choice(interpret)
     vtrs, vtis, taurs, tauis = [], [], [], []
     for p0, nblk, s_p in phases:
-        kernel = functools.partial(
-            _chase_kernel_planar, n, b, s_p, stride, tb, t_total, pad_f,
-            lanes, p0 * tb, ladder,
-        )
+        if batch3:
+            kernel = functools.partial(
+                _chase_kernel_b3, n, b, s_p, stride, tb, t_total, pad_f,
+                lanes, p0 * tb, ladder, True,
+            )
+        else:
+            kernel = functools.partial(
+                _chase_kernel_planar, n, b, s_p, stride, tb, t_total, pad_f,
+                lanes, p0 * tb, ladder,
+            )
         band_spec = pl.BlockSpec(
             (npad, w), index_map=const2, memory_space=pltpu.VMEM
         )
@@ -891,7 +975,7 @@ def bulge_chase_pallas(band, b, tb=96, interpret=False, ablate=None,
         if batch3:
             kernel = functools.partial(
                 _chase_kernel_b3, n, b, s_p, stride, tb, t_total, pad_f,
-                lanes, p0 * tb, ladder,
+                lanes, p0 * tb, ladder, False,
             )
         else:
             kernel = functools.partial(

@@ -163,6 +163,42 @@ def test_batch3_bitexact_vs_per_timestep():
         )
 
 
+def test_batch3_planar_bitexact_vs_per_timestep():
+    """Planar complex twin of the bit-exactness check: the batch3 path
+    shares _window_update_planar with the per-timestep planar kernel,
+    so any diff is a staging bug in the 2-plane neighbor-exchange view
+    or the per-plane ownership-tiled write."""
+    from eigensolver_gpu_tpu.ops.chase_pallas import (
+        bulge_chase_planar_pallas,
+    )
+
+    n, b = 96, 8
+    rng = np.random.default_rng(7)
+    a = _rand_band(rng, n, b)
+    ti = rng.standard_normal((n, n)).astype(np.float32)
+    ai = (ti - ti.T) / 2 * (
+        np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= b
+    )
+    band_r = jnp.asarray(dense_to_band(jnp.asarray(a), b))
+    band_i = jnp.asarray(dense_to_band(jnp.asarray(ai), b))
+    r0 = bulge_chase_planar_pallas(band_r, band_i, b, tb=6, interpret=True)
+    r1 = bulge_chase_planar_pallas(
+        band_r, band_i, b, tb=6, interpret=True, batch3=True
+    )
+
+    def _flat(r):
+        d, (er, ei), (vtr, vti), (taur, taui) = r
+        return [
+            ("d", d), ("e_r", er), ("e_i", ei), ("vt_r", vtr),
+            ("vt_i", vti), ("tau_r", taur), ("tau_i", taui),
+        ]
+
+    for (name, x0), (_, x1) in zip(_flat(r0), _flat(r1)):
+        np.testing.assert_array_equal(
+            np.asarray(x0), np.asarray(x1), err_msg=name
+        )
+
+
 @pytest.mark.skipif(
     not os.environ.get("EIGSOLVE_SLOW_TESTS"),
     reason="multi-group batch3 needs n >= 3b^2+3 (~4 min interpret); "
