@@ -31,6 +31,12 @@ run() {
 # 1. Mosaic toolchain check (validates the strided roll + new kernels)
 run smoke python benchmarks/kernel_smoke.py
 
+# 1b. headline pre-warm FIRST (the driver's round-end bench.py capture
+#     needs the compile cache warm for the CURRENT code; if the tunnel
+#     only answers late in the round, this is the step that must have
+#     happened). Also records the round-5 headline number.
+run bench python bench.py
+
 # 2. chase cost: strided-roll gain vs the round-3 115.7/352.3 ms
 run chase4096 python benchmarks/chase_micro.py 4096 full,nomath,noshear,nosubroll,nowrite
 run chase8192 python benchmarks/chase_micro.py 8192 full
@@ -53,8 +59,9 @@ run tsp8192 python benchmarks/two_stage_planar.py 8192
 # 4b. planar two-stage with the vmax-batched chase (round 5)
 run tsp4096b3 env EIGSOLVE_CHASE_BATCH3=1 python benchmarks/two_stage_planar.py 4096
 
-# 5. headline pre-warm + record (honest flop model, A100 pin line)
-run bench python bench.py
+# 5. headline re-record after the A/B steps warmed everything (the
+#    step-1b run already pre-warmed; this one is the stable repeat)
+run bench2 python bench.py
 
 # 6. configs 1-2 (real mixed)
 run cfg1 env EIGSOLVE_BENCH_N=1024 EIGSOLVE_BENCH_IU=64 EIGSOLVE_BENCH_DTYPE=float64 EIGSOLVE_BENCH_SKIP_CPU=1 python bench.py
