@@ -46,8 +46,16 @@ def log(*a):
 
 
 def check(name, compiled_fn, interp_fn, atol):
+    # Isolate failures per kernel: a Mosaic lowering rejection in one
+    # kernel must not abort the remaining checks (round-5 lesson: the
+    # first on-chip run died at kernel 3 of 10 and validated nothing
+    # after it).
     t0 = wallclock()
-    got = jax.tree.map(np.asarray, compiled_fn())
+    try:
+        got = jax.tree.map(np.asarray, compiled_fn())
+    except Exception as e:  # noqa: BLE001 -- lowering/runtime error
+        log(f"EXC {name:24s} {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+        return False
     t1 = wallclock()
     want = jax.tree.map(np.asarray, interp_fn())
     flat_g, _ = jax.tree.flatten(got)

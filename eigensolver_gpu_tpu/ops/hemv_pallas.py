@@ -50,16 +50,20 @@ def _hemv_kernel(ar_ref, ai_ref, v_ref, y_ref):
     ai = ai_ref[:, :]
     tsz = ar.shape[0]
     vj = v_ref[pl.ds(bj * tsz, tsz), :]
+    # precision=HIGHEST: see ops/symv_pallas.py -- in-kernel f32 dots
+    # default to 1-pass bf16 on the real Mosaic toolchain
+    _hi = jax.lax.Precision.HIGHEST
     y_ref[pl.ds(bi * tsz, tsz), :] += jnp.dot(
-        ar, vj, preferred_element_type=ar.dtype
-    ) + jnp.dot(ai, _rot(vj), preferred_element_type=ar.dtype)
+        ar, vj, preferred_element_type=ar.dtype, precision=_hi
+    ) + jnp.dot(ai, _rot(vj), preferred_element_type=ar.dtype, precision=_hi)
 
     @pl.when(bi != bj)
     def _():
         vi_ = v_ref[pl.ds(bi * tsz, tsz), :]
         y_ref[pl.ds(bj * tsz, tsz), :] += jnp.dot(
-            ar.T, vi_, preferred_element_type=ar.dtype
-        ) - jnp.dot(ai.T, _rot(vi_), preferred_element_type=ar.dtype)
+            ar.T, vi_, preferred_element_type=ar.dtype, precision=_hi
+        ) - jnp.dot(ai.T, _rot(vi_), preferred_element_type=ar.dtype,
+                    precision=_hi)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

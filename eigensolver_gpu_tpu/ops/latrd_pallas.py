@@ -62,9 +62,15 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
     slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     f1 = jnp.float32(1.0)
     P = lambda j: pan_ref[:, j * nb : (j + 1) * nb]  # packed panel slab
-    mm = lambda p, x: jnp.dot(p, x, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: in-kernel f32 dots default to 1-pass bf16 on
+    # the real Mosaic toolchain (see ops/symv_pallas.py); the compact-WY
+    # corrections are exactly where bf16 would break orthogonality
+    _hi = jax.lax.Precision.HIGHEST
+    mm = lambda p, x: jnp.dot(
+        p, x, preferred_element_type=jnp.float32, precision=_hi
+    )
     ctr = lambda p, x: jax.lax.dot_general(
-        p, x, (((0,), (0,)), ((), ()))
+        p, x, (((0,), (0,)), ((), ())), precision=_hi
     )  # (mb, nb)^T @ (mb, 1) -> (nb, 1)
 
     # ---- (a) finalize w for slot g-2 (its y swept at step g-1) ----
@@ -72,8 +78,12 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
     def _():
         s = g - 2
         onehot_s = (slot_lane == s).astype(jnp.float32)  # (1, nb)
-        v_r = jax.lax.dot_general(P(_VR), onehot_s, (((1,), (1,)), ((), ())))
-        v_i = jax.lax.dot_general(P(_VI), onehot_s, (((1,), (1,)), ((), ())))
+        v_r = jax.lax.dot_general(
+            P(_VR), onehot_s, (((1,), (1,)), ((), ())), precision=_hi
+        )
+        v_i = jax.lax.dot_general(
+            P(_VI), onehot_s, (((1,), (1,)), ((), ())), precision=_hi
+        )
         # y -= V (W^H v) + W (V^H v)   (planar compact-WY correction)
         wv_r = ctr(P(_WR), v_r) + ctr(P(_WI), v_i)  # (W^H v)_r
         wv_i = ctr(P(_WR), v_i) - ctr(P(_WI), v_r)
@@ -194,15 +204,30 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
 _NSPLIT = 4  # column-quarter input splits (parallel DMA streams)
 
 
-def _latrd_kernel(nb, tile, *refs):
+def _nsplit_for(mb):
+    """Largest split <= _NSPLIT whose quarter width keeps every lane
+    slice vreg-aligned (mq % 128 == 0). Mosaic rejects broadcasting a
+    (1, mq) row sliced at a lane offset that is not a multiple of 128
+    ("Invalid input layout" on vector.broadcast -- first observed on
+    the round-5 on-chip smoke at mb=256, where mq=64 put quarter 1 at
+    lane offset 64). Production buckets (mb % 512 == 0) keep the full
+    4-way split; small shapes degrade to fewer DMA streams, which only
+    costs bandwidth concurrency they do not need."""
+    ns = _NSPLIT
+    while ns > 1 and (mb % ns != 0 or (mb // ns) % 128 != 0):
+        ns //= 2
+    return ns
+
+
+def _latrd_kernel(nb, tile, nsplit, *refs):
     pe_ref = refs[0]
-    a_refs = refs[1 : 1 + 2 * _NSPLIT]  # ar quarters then ai quarters
-    pan_ref, scal_ref, vec, rowv, smem = refs[1 + 2 * _NSPLIT :]
+    a_refs = refs[1 : 1 + 2 * nsplit]  # ar quarters then ai quarters
+    pan_ref, scal_ref, vec, rowv, smem = refs[1 + 2 * nsplit :]
     g = pl.program_id(0)
     i = pl.program_id(1)
     pe = pe_ref[0, 0]
     mb = vec.shape[0]
-    mq = mb // _NSPLIT
+    mq = mb // nsplit
 
     @pl.when((g == 0) & (i == 0))
     def _():
@@ -241,9 +266,9 @@ def _latrd_kernel(nb, tile, *refs):
         else:  # small buckets: quarter narrower than one vreg row
             fold = lambda x: jnp.sum(x, axis=1, keepdims=True)
         y_r = y_i = ac_r = ac_i = None
-        for qx in range(_NSPLIT):
+        for qx in range(nsplit):
             arq = a_refs[qx][:, :]
-            aiq = a_refs[_NSPLIT + qx][:, :]
+            aiq = a_refs[nsplit + qx][:, :]
             lo = qx * mq
             vrq = v_r[:, lo : lo + mq]
             viq = v_i[:, lo : lo + mq]
@@ -283,10 +308,9 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
     pe = jnp.asarray(panel_end, jnp.int32).reshape(1, 1)
     f32 = jnp.float32
 
-    if mb % _NSPLIT != 0:
-        raise ValueError(f"mb={mb} must be divisible by {_NSPLIT}")
-    mq = mb // _NSPLIT
-    kernel = functools.partial(_latrd_kernel, nb, tile)
+    nsplit = _nsplit_for(mb)
+    mq = mb // nsplit
+    kernel = functools.partial(_latrd_kernel, nb, tile, nsplit)
     const = lambda g, i: (jnp.int32(0), jnp.int32(0))
     # each quarter is its OWN operand buffer: a column slice of a bigger
     # array is non-contiguous, so XLA materializes a distinct buffer per
@@ -299,7 +323,7 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
             index_map=lambda g, i: (i, jnp.int32(0)),
             memory_space=pltpu.VMEM,
         )
-        for q in range(_NSPLIT)
+        for q in range(nsplit)
     ]
     pan, scal = pl.pallas_call(
         kernel,
@@ -330,8 +354,8 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
         interpret=interpret,
     )(
         pe,
-        *[ar_mb[:, q * mq : (q + 1) * mq] for q in range(_NSPLIT)],
-        *[ai_mb[:, q * mq : (q + 1) * mq] for q in range(_NSPLIT)],
+        *[ar_mb[:, q * mq : (q + 1) * mq] for q in range(nsplit)],
+        *[ai_mb[:, q * mq : (q + 1) * mq] for q in range(nsplit)],
     )
     sl = lambda j: pan[:, j * nb : (j + 1) * nb]
     return sl(_VR), sl(_VI), sl(_WR), sl(_WI), sl(_CR), sl(_CI), scal

@@ -94,9 +94,14 @@ def _ql_panel_kernel(b, m, *refs):
 
     # ---- forward larft: T with H(0)..H(b-1) = I - V T V^T ----
     # gram M = V^T V in panel-column indexing = VT VT^T over lanes
+    # precision=HIGHEST on every in-kernel dot: f32 Mosaic dots default
+    # to 1-pass bf16 on this toolchain (see ops/symv_pallas.py), and the
+    # T factor feeds the two-sided orthogonal update -- bf16 gram error
+    # would break the WY orthogonality contract.
     gram = lax.dot_general(
         vt_ref[:, :], vt_ref[:, :], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # (b, b), entry [i, k] = v_i . v_k
 
     def t_step(j, t):
@@ -107,6 +112,7 @@ def _ql_panel_kernel(b, m, *refs):
         tm = lax.dot_general(
             t, mcol, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )  # (b, 1)
         colv = -tau_j * tm
         colv = jnp.where(rows_b == j, tau_j, colv)
@@ -197,7 +203,8 @@ def _ql_panel_planar_kernel(b, m, *refs):
     # H^H per column, so the accumulated block is I - V T' V^H with
     # T' = larft_forward(V, conj(tau)) -- ops/sbrd_planar.py:185) ----
     ctr = lambda x, y: lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     # M = V^H V: Re = Vr^T Vr + Vi^T Vi, Im = Vr^T Vi - Vi^T Vr (in
     # panel-column indexing; rows of vtr/vti are panel columns)
@@ -215,6 +222,7 @@ def _ql_panel_planar_kernel(b, m, *refs):
         mm = lambda x, y: lax.dot_general(
             x, y, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         ar = mm(t_r, mc_r) - mm(t_i, mc_i)
         ai = mm(t_r, mc_i) + mm(t_i, mc_r)

@@ -68,15 +68,21 @@ def _symv_kernel(a_ref, v_ref, y_ref):
     tile = a_ref[:, :]
     tsz = tile.shape[0]
     vj = v_ref[pl.ds(bj * tsz, tsz), :]
+    # precision=HIGHEST: in-kernel f32 MXU dots default to 1-pass bf16
+    # on this toolchain (CLAUDE.md fact 4 applies INSIDE Mosaic too --
+    # measured round 5: compiled-vs-interpret diff 1.2e-1 at n=512
+    # without it, i.e. ~bf16 eps; interpret mode masks the default)
     y_ref[pl.ds(bi * tsz, tsz), :] += jnp.dot(
-        tile, vj, preferred_element_type=tile.dtype
+        tile, vj, preferred_element_type=tile.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(bi != bj)
     def _():
         vi = v_ref[pl.ds(bi * tsz, tsz), :]
         y_ref[pl.ds(bj * tsz, tsz), :] += jnp.dot(
-            tile.T, vi, preferred_element_type=tile.dtype
+            tile.T, vi, preferred_element_type=tile.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 

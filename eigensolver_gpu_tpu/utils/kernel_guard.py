@@ -30,6 +30,7 @@ existing env-var gates -- a verdict cannot flip mid-process).
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
 import warnings
 
@@ -39,6 +40,20 @@ import jax
 import jax.numpy as jnp
 
 _VERDICTS: dict[str, bool] = {}
+
+
+def _run_probe_eagerly(fn):
+    """Execute a probe EAGERLY even when kernel_ok() is consulted during
+    an outer jit trace. ensure_compile_time_eval is the obvious tool but
+    is a trap for Pallas: inside that context the kernel-internal iotas
+    and eye() constants evaluate to concrete arrays while the kernel
+    function is being traced, so a perfectly valid kernel fails with
+    "captures constants" and the guard silently disables it (round-5
+    on-chip: the pchol probe failed exactly this way while the kernel
+    itself compiled fine). JAX's trace stack is thread-local, so a fresh
+    thread is a clean eager context regardless of the caller's."""
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        ex.submit(fn).result()
 
 
 def _disabled(name: str) -> bool:
@@ -67,12 +82,12 @@ def kernel_ok(name: str) -> bool:
     if name not in _VERDICTS:
         try:
             # kernel_ok is consulted at trace time from inside jitted
-            # drivers; without this the probe's computations would be
-            # DEFERRED into the outer jaxpr (no exception fires and the
-            # probe vacuously "passes"). ensure_compile_time_eval forces
-            # eager execution so a lowering failure surfaces here.
-            with jax.ensure_compile_time_eval():
-                _PROBES[name]()
+            # drivers; without isolation the probe's computations would
+            # be DEFERRED into the outer jaxpr (no exception fires and
+            # the probe vacuously "passes"). A fresh thread forces eager
+            # execution -- see _run_probe_eagerly for why NOT
+            # ensure_compile_time_eval.
+            _run_probe_eagerly(_PROBES[name])
             _VERDICTS[name] = True
         except Exception as e:  # noqa: BLE001 -- any lowering/runtime error
             warnings.warn(
