@@ -71,16 +71,20 @@ def _ladder_choice(interpret):
 def _shear(x, w, lanes, left, ladder):
     """Per-sublane-index lane roll: out[s, q, l] = x[s, q, l -+ q].
 
-    Fast path (round 4): ONE hardware strided roll --
+    Fast path: ONE hardware strided roll --
     ``pltpu.roll(x, shift, axis=2, stride, stride_axis=1)`` rotates lane
     l of sublane q to l + shift + stride*q (mod lanes); stride=1 shifts
-    row q right by q (band strip -> window rows), stride=lanes-1 == -1
-    undoes it.  Replaces the round-3 ladder of log2(w) masked
-    power-of-two rolls (6 full VPU select passes each way at w=64).
+    row q right by q (band strip -> window rows).  ROUND-5 ON-CHIP
+    FINDING: only small power-of-two strides lower on the real Mosaic
+    toolchain for lane rolls strided over sublanes -- stride=lanes-1
+    (the inverse shear) is REJECTED ("max shift in a vreg > 128") and
+    stride=64 compiles to WRONG RESULTS (verified against the roll
+    semantics on-chip).  The left/inverse direction therefore always
+    uses the round-3 ladder of log2(w) masked power-of-two rolls; the
+    hybrid halves the shear cost vs the full ladder.
     """
-    if not ladder:
-        stride = lanes - 1 if left else 1
-        return pltpu.roll(x, shift=jnp.int32(0), axis=2, stride=stride,
+    if not ladder and not left:
+        return pltpu.roll(x, shift=jnp.int32(0), axis=2, stride=1,
                           stride_axis=1)
     s, wq, _ = x.shape
     q = lax.broadcasted_iota(jnp.int32, (1, wq, 1), 1)
@@ -104,21 +108,20 @@ def _subroll(x, n_sl, chunk, up, ladder):
     up=False undoes it. Circular within the chunk, so the round trip is
     the identity on every row.
 
-    Fast path (round 4): one strided roll over the slot axis -- roll up
-    by n_sl-1-sl == roll down by chunk-(n_sl-1)+sl, i.e. shift =
-    chunk-n_sl+1, stride = +1; the inverse rolls down by (n_sl-1) - sl,
-    i.e. shift = n_sl-1, stride = chunk-1 == -1 (mod chunk).  Ladder
-    fallback: mask key = slot index (dim 0), invariant under the axis-1
-    rolls -- the shear trick, one axis over."""
+    Fast path: one strided roll over the slot axis -- roll up by
+    n_sl-1-sl == roll down by chunk-(n_sl-1)+sl, i.e. shift =
+    chunk-n_sl+1, stride = +1.  ROUND-5 ON-CHIP FINDING: the inverse
+    (shift = n_sl-1, stride = chunk-1 == -1 mod chunk) COMPILES BUT
+    MISCOMPILES on the real toolchain (verified wrong vs the roll
+    semantics at (8,192,128) and (16,96,128)) -- only stride=1 is
+    trustworthy, so the down direction always takes the masked-roll
+    ladder (mask key = slot index (dim 0), invariant under the axis-1
+    rolls -- the shear trick, one axis over)."""
     if n_sl == 1:
         return x
-    if not ladder:
-        if up:
-            shift, stride = (chunk - n_sl + 1) % chunk, 1
-        else:
-            shift, stride = n_sl - 1, chunk - 1
-        return pltpu.roll(x, shift=jnp.int32(shift), axis=1, stride=stride,
-                          stride_axis=0)
+    if not ladder and up:
+        return pltpu.roll(x, shift=jnp.int32((chunk - n_sl + 1) % chunk),
+                          axis=1, stride=1, stride_axis=0)
     slv = lax.broadcasted_iota(jnp.int32, (n_sl, 1, 1), 0)
     off = n_sl - 1 - slv
     shift = 1
@@ -130,6 +133,29 @@ def _subroll(x, n_sl, chunk, up, ladder):
         rolled = pltpu.roll(x, shift=jnp.int32(sh), axis=1)
         x = jnp.where((off & shift) != 0, rolled, x)
         shift //= 2
+    return x
+
+
+def _slot_roll_minus(x, shift, n_key=None):
+    """Per-slot sublane roll DOWN-minus-slot: out[s] = roll_right(x[s],
+    shift - s) along axis 1. The hardware form (stride = axis_size - 1)
+    COMPILES BUT MISCOMPILES on the real toolchain (round-5 on-chip
+    verification), so this is always the masked power-of-two ladder:
+    one plain roll by ``shift`` then log2(n_key) masked up-rolls keyed
+    by the slot index (invariant under the axis-1 rolls)."""
+    f = x.shape[1]
+    n_sl = x.shape[0]
+    if n_key is None:
+        n_key = n_sl
+    x = pltpu.roll(x, shift=jnp.int32(shift % f), axis=1)
+    if n_key <= 1:
+        return x
+    slv = lax.broadcasted_iota(jnp.int32, (n_sl, 1, 1), 0)
+    k = 1
+    while k < n_key:
+        rolled = pltpu.roll(x, shift=jnp.int32(f - k), axis=1)
+        x = jnp.where((slv & k) != 0, rolled, x)
+        k *= 2
     return x
 
 
@@ -465,17 +491,18 @@ def _chase_kernel_b3(
                     wts = [wt]
                     vs = [v]
                     taus = [tau]
-                views = [
-                    jnp.concatenate(
-                        [
-                            v[:, : j * b],
-                            _shear(wt_, w, lanes, True, ladder)[:, :, :w],
-                            v[:, j * b + w :],
-                        ],
-                        axis=1,
-                    )
-                    for v, wt_ in zip(views, wts)
-                ]
+                def _reassemble(v, wt_):
+                    # zero-size pieces (prefix at j=0, suffix at j=2)
+                    # are legal XLA but Mosaic rejects zero-size vectors
+                    parts = []
+                    if j > 0:
+                        parts.append(v[:, : j * b])
+                    parts.append(_shear(wt_, w, lanes, True, ladder)[:, :, :w])
+                    if j * b + w < fourb:
+                        parts.append(v[:, j * b + w :])
+                    return jnp.concatenate(parts, axis=1)
+
+                views = [_reassemble(v, wt_) for v, wt_ in zip(views, wts)]
                 for vt_ref, vv in zip(vt_refs, vs):
                     vt_ref[pl.ds(i32(3) * ib + j, 1), s0 : s0 + n_sl, :] = (
                         vv[None]
@@ -545,13 +572,10 @@ def _chase_kernel_b3(
             shift_main = (n_sl - b - 1) % fourb
             base_w = start + i32(stride * s0) + i32(b + 1 - n_sl)
             for bo, v in zip(b_outs, views):
-                main = pltpu.roll(v, shift=jnp.int32(shift_main), axis=1,
-                                  stride=fourb - 1, stride_axis=0)
+                main = _slot_roll_minus(v, shift_main)
                 if n_sl > 1:
                     sp0 = pltpu.roll(v, shift=jnp.int32(1), axis=0)
-                    spill = pltpu.roll(sp0, shift=jnp.int32(n_sl % fourb),
-                                       axis=1, stride=fourb - 1,
-                                       stride_axis=0)
+                    spill = _slot_roll_minus(sp0, n_sl)
                     r4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 1)
                     s4 = lax.broadcasted_iota(jnp.int32, (n_sl, fourb, 1), 0)
                     out = jnp.where((r4 + s4 < i32(n_sl)) & (s4 > 0), spill,

@@ -116,20 +116,46 @@ def compiled_unavailable(name: str) -> bool:
 
 
 def _probe_strided_roll():
-    """The pltpu.roll(stride=, stride_axis=) form the chase shears use."""
+    """The pltpu.roll(stride=1) forms the chase's fast paths use, at
+    PRODUCTION-representative geometry, with the results VERIFIED
+    against the roll semantics. Round-5 on-chip lesson: compile+run
+    success is not enough -- stride=64 lane rolls and stride=chunk-1
+    sublane rolls compile on this toolchain and return WRONG data, and
+    the old (2, 8, 128)/stride<=7 probe shape accepted strides the
+    production (S, 2b, 128) shear shape rejects. Only the stride=1
+    directions are used by the kernels (the inverses always ladder);
+    this probe pins exactly those."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def k(x_ref, o_ref):
-        r = pltpu.roll(x_ref[...], shift=jnp.int32(1), axis=2, stride=1,
-                       stride_axis=1)
-        o_ref[...] = pltpu.roll(r, shift=jnp.int32(0), axis=1, stride=7,
-                                stride_axis=0)
+    def k_shear(x_ref, o_ref):
+        # band strip -> window rows: roll lane l of sublane q to l + q
+        o_ref[...] = pltpu.roll(x_ref[...], shift=jnp.int32(0), axis=2,
+                                stride=1, stride_axis=1)
 
-    x = jnp.arange(2 * 8 * 128, dtype=jnp.float32).reshape(2, 8, 128)
-    pl.pallas_call(
-        k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
-    )(x).block_until_ready()
+    def k_sub(x_ref, o_ref):
+        # subroll up: roll sublanes of slot s down by shift + s
+        o_ref[...] = pltpu.roll(x_ref[...], shift=jnp.int32(5), axis=1,
+                                stride=1, stride_axis=0)
+
+    x = jnp.arange(8 * 64 * 128, dtype=jnp.float32).reshape(8, 64, 128)
+    got = np.asarray(pl.pallas_call(
+        k_shear, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
+    )(x))
+    xn = np.asarray(x)
+    exp = np.stack([np.stack([np.roll(xn[s, q], q) for q in range(64)])
+                    for s in range(8)])
+    if not (got == exp).all():
+        raise ValueError("strided lane roll (stride=1) miscompiles")
+
+    y = jnp.arange(4 * 96 * 128, dtype=jnp.float32).reshape(4, 96, 128)
+    got = np.asarray(pl.pallas_call(
+        k_sub, out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype)
+    )(y))
+    yn = np.asarray(y)
+    exp = np.stack([np.roll(yn[s], 5 + s, axis=0) for s in range(4)])
+    if not (got == exp).all():
+        raise ValueError("strided sublane roll (stride=1) miscompiles")
 
 
 def _band96():
