@@ -83,7 +83,10 @@ def _pchol_block_kernel(nb, *refs):
         ldi[:, :] = ldi[:, :] * (1.0 - onehot_l) + lcol_i * onehot_l
         return fail
 
-    fail = lax.fori_loop(0, nb, chol_step, jnp.int32(0))
+    # int32 bounds: i64 induction vars (x64 mode) hit Mosaic's infinite
+    # convert recursion -- see ops/ql_panel_pallas.py
+    fail = lax.fori_loop(jnp.int32(0), jnp.int32(nb), chol_step,
+                         jnp.int32(0))
     fail_ref[0, 0] = fail
     # zero the strict upper triangle (stale values left by the row reads)
     tril = (rows >= lanes).astype(jnp.float32)
@@ -106,9 +109,9 @@ def _pchol_block_kernel(nb, *refs):
         lcol_i = below * _col(ldi[:, :], j)
         invr[:, :] -= lcol_r * y_r - lcol_i * y_i
         invi[:, :] -= lcol_r * y_i + lcol_i * y_r
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, nb, inv_step, 0)
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb), inv_step, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -88,9 +88,12 @@ def _ql_panel_kernel(b, m, *refs):
         pft_ref[pl.ds(j, 1), :] = newcol
         vt_ref[pl.ds(j, 1), :] = v
         scal_ref[0:1, :] += tau_k * (lane_b == j).astype(jnp.float32)
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, b, col_step, 0)
+    # int32 loop bounds: under jax_enable_x64 a Python-int bound makes an
+    # int64 induction variable, and i64->f32 converts send Mosaic's
+    # lowering into infinite _convert_helper recursion (round-5 on-chip)
+    lax.fori_loop(jnp.int32(0), jnp.int32(b), col_step, jnp.int32(0))
 
     # ---- forward larft: T with H(0)..H(b-1) = I - V T V^T ----
     # gram M = V^T V in panel-column indexing = VT VT^T over lanes
@@ -118,7 +121,8 @@ def _ql_panel_kernel(b, m, *refs):
         colv = jnp.where(rows_b == j, tau_j, colv)
         return t * (1.0 - onehot_j) + colv * onehot_j
 
-    t = lax.fori_loop(0, b, t_step, jnp.zeros((b, b), jnp.float32))
+    t = lax.fori_loop(jnp.int32(0), jnp.int32(b), t_step,
+                      jnp.zeros((b, b), jnp.float32))
     scal_ref[8:, :] = t
 
 
@@ -195,9 +199,11 @@ def _ql_panel_planar_kernel(b, m, *refs):
         onehot_j = (lane_b == j).astype(jnp.float32)
         scal_ref[0:1, :] += tk_r * onehot_j
         scal_ref[1:2, :] += tk_i * onehot_j
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, b, col_step, 0)
+    # int32 bounds: i64 induction vars (x64 mode) hit Mosaic's infinite
+    # convert recursion -- see _ql_panel_kernel
+    lax.fori_loop(jnp.int32(0), jnp.int32(b), col_step, jnp.int32(0))
 
     # ---- planar forward larft with CONJUGATED taus (psbrd applies
     # H^H per column, so the accumulated block is I - V T' V^H with
@@ -236,7 +242,7 @@ def _ql_panel_planar_kernel(b, m, *refs):
         return t_r, t_i
 
     z = jnp.zeros((b, b), jnp.float32)
-    t_r, t_i = lax.fori_loop(0, b, t_step, (z, z))
+    t_r, t_i = lax.fori_loop(jnp.int32(0), jnp.int32(b), t_step, (z, z))
     scal_ref[8:8 + b, :] = t_r
     scal_ref[8 + b:, :] = t_i
 
