@@ -55,9 +55,10 @@ _VR, _VI, _WR, _WI, _CR, _CI = range(6)
 _ACR, _ACI, _YR, _YI, _VCR, _VCI = range(6)
 
 
-def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
+def _phase(pe, g, nb, nsplit, pan_ref, scal_ref, vec, rowv, smem):
     """Column-phase work at tile 0 of grid step g (see module docstring)."""
     mb = vec.shape[0]
+    mq = mb // nsplit
     rows = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
     slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     f1 = jnp.float32(1.0)
@@ -172,9 +173,14 @@ def _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem):
 
         pan_ref[:, _VR * nb : (_VR + 1) * nb] += v_r * onehot_s
         pan_ref[:, _VI * nb : (_VI + 1) * nb] += v_i * onehot_s
-        # row-vector copies feed the VPU matvec in the tile sweep
-        rowv[0:1, :] = v_r.reshape(1, mb)
-        rowv[1:2, :] = v_i.reshape(1, mb)
+        # row-vector copies feed the VPU matvec in the tile sweep: ONE
+        # SUBLANE ROW PER COLUMN-QUARTER (rows 0..nsplit-1 = v_r
+        # quarters, nsplit..2*nsplit-1 = v_i quarters) so every sweep
+        # read is at lane offset 0 -- Mosaic rejects broadcasting a
+        # (1, mq) slice taken at a non-zero vreg lane offset ("Invalid
+        # input layout", round-5 on-chip at mb=256/mq=128)
+        rowv[0:nsplit, :] = v_r.reshape(nsplit, mq)
+        rowv[nsplit : 2 * nsplit, :] = v_i.reshape(nsplit, mq)
         smem[0, s] = tk_r
         smem[1, s] = tk_i
 
@@ -238,7 +244,7 @@ def _latrd_kernel(nb, tile, nsplit, *refs):
 
     @pl.when(i == 0)
     def _():
-        _phase(pe, g, nb, pan_ref, scal_ref, vec, rowv, smem)
+        _phase(pe, g, nb, nsplit, pan_ref, scal_ref, vec, rowv, smem)
 
     # ---- tile sweep: y = A v (slot g-1) and raw a_col (slot g) ----
     # VPU formulation: an MXU dot with an (mb, 3) rhs runs at 1/42 lane
@@ -251,10 +257,7 @@ def _latrd_kernel(nb, tile, nsplit, *refs):
     @pl.when(g <= nb)
     def _():
         cj_next = pe - 1 - g  # column whose raw a_col this sweep gathers
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, mb), 1)
-        onehot_row = (lanes == cj_next).astype(jnp.float32)  # (1, mb)
-        v_r = rowv[0:1, :]
-        v_i = rowv[1:2, :]
+        lanes_q = jax.lax.broadcasted_iota(jnp.int32, (1, mq), 1)
         # lane-fold reduction: cross-lane shuffles are expensive on the
         # VPU, so fold each (tile, mq) product into (tile, 128) with
         # plain vreg adds and pay ONE narrow cross-lane reduce per
@@ -270,9 +273,11 @@ def _latrd_kernel(nb, tile, nsplit, *refs):
             arq = a_refs[qx][:, :]
             aiq = a_refs[nsplit + qx][:, :]
             lo = qx * mq
-            vrq = v_r[:, lo : lo + mq]
-            viq = v_i[:, lo : lo + mq]
-            ohq = onehot_row[:, lo : lo + mq]
+            # quarter rows of v + per-quarter one-hot: everything the
+            # (tile, mq) broadcasts consume sits at lane offset 0
+            vrq = rowv[qx : qx + 1, :]
+            viq = rowv[nsplit + qx : nsplit + qx + 1, :]
+            ohq = (lanes_q == cj_next - lo).astype(jnp.float32)
             t0 = fold(arq * vrq - aiq * viq)
             t1 = fold(arq * viq + aiq * vrq)
             t2 = fold(arq * ohq)
@@ -343,7 +348,8 @@ def latrd_panel_planar(ar_mb, ai_mb, panel_end, nb=32, tile=128,
         ],
         scratch_shapes=[
             pltpu.VMEM((mb, 8), f32),  # packed work vectors (lanes 0..3)
-            pltpu.VMEM((8, mb), f32),  # row-vector copies of v (VPU sweep)
+            # v row copies, ONE SUBLANE ROW PER QUARTER (offset-0 reads)
+            pltpu.VMEM((8, mb // nsplit), f32),
             pltpu.SMEM((2, nb), f32),  # tau_r, tau_i per slot
         ],
         # the default scoped-vmem limit (16M) undercounts the phase's

@@ -253,12 +253,14 @@ def _probe_latrd_planar():
     from eigensolver_gpu_tpu.ops.latrd_pallas import latrd_panel_planar
 
     rng = np.random.default_rng(7)
-    mb = 128
+    # mb=256 -> nsplit=2: exercises the multi-quarter sweep (the mb=128
+    # probe had nsplit=1 and missed the round-5 lane-offset rejection)
+    mb = 256
     tr = rng.standard_normal((mb, mb)).astype(np.float32)
     ti = rng.standard_normal((mb, mb)).astype(np.float32)
     ar = jnp.asarray((tr + tr.T) / 2)
     ai = jnp.asarray((ti - ti.T) / 2)
-    jax.block_until_ready(latrd_panel_planar(ar, ai, mb, nb=32, tile=64))
+    jax.block_until_ready(latrd_panel_planar(ar, ai, mb, nb=32, tile=128))
 
 
 def _probe_symv():
