@@ -34,6 +34,9 @@ Environment knobs:
                          still guards the residual contract)
   EIGSOLVE_BENCH_PSOLVE  planar_solve_mode for the planar fp32 pipeline
                          ('blockinv' default | 'trinv' | 'subst')
+  EIGSOLVE_BENCH_TRIDIAG tridiag_mode: 'auto' (default, measured
+                         crossovers decide) | 'one' | 'two' -- full-
+                         driver A/B of the two-stage reduction
   EIGSOLVE_BENCH_SYGST   sygst_mode for the real driver ('full' default
                          auto-swaps; 'trinv' = full-inverse phases 2+4)
 """
@@ -183,15 +186,20 @@ def main():
     sweeps = int(os.environ.get("EIGSOLVE_BENCH_SWEEPS", "3"))
     psolve = os.environ.get("EIGSOLVE_BENCH_PSOLVE", "blockinv")
     sygst = os.environ.get("EIGSOLVE_BENCH_SYGST", "full")
+    # tridiagonalization A/B: 'one'/'two'/'auto' (default 'auto' -- the
+    # measured crossovers decide; 'two' forces the two-stage reduction
+    # for full-driver A/Bs of the planar crossover without code edits)
+    tridiag = os.environ.get("EIGSOLVE_BENCH_TRIDIAG", "auto")
     cfg = (
         SolverConfig(
             compute_dtype="float32", refine_iters=sweeps,
             use_pallas=use_pallas, planar_solve_mode=psolve,
-            sygst_mode=sygst,
+            sygst_mode=sygst, tridiag_mode=tridiag,
         )
         if mode == "mp"
         else SolverConfig(
-            use_pallas=use_pallas, planar_solve_mode=psolve, sygst_mode=sygst
+            use_pallas=use_pallas, planar_solve_mode=psolve,
+            sygst_mode=sygst, tridiag_mode=tridiag,
         )
     )
     log(f"bench: n={n} dtype={dtype} mode={mode} il=1 iu={iu} devices={jax.devices()}")
