@@ -56,6 +56,18 @@ P = 128  # padded window size: one full MXU tile
 N_STREAMS = 4  # parallel qw BlockSpec entries (DMA concurrency)
 
 
+def _auto_mtile(mt, rows, n_win, stream_bytes):
+    """Shrink the replay m-tile until the resident y windows + reflector
+    streams fit the VMEM budget.  Each of the n_win (rows, mt) fp32 y
+    windows is DOUBLE-buffered by the Pallas pipeline (its index map
+    varies over the m grid dim); undercounting that buffering is exactly
+    the n=8192 planar OOM found on-chip in round 5 (145.2M used vs the
+    chip's 128M vmem)."""
+    while mt > 64 and rows * mt * 4 * 2 * n_win + stream_bytes > 100 * 2**20:
+        mt //= 2
+    return mt
+
+
 def _geometry(n, b, g):
     """Static wave-schedule geometry (numpy), shared by the gather
     index construction and the kernel's in-kernel base arithmetic.
@@ -430,9 +442,9 @@ def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
 
     m = y_r.shape[1]
     mt = min(m_tile, -(-m // 8) * 8)
-    # 4 resident plane buffers (2 planes x in+out) + [Qr|Qi] streams
-    while mt > 64 and rows * mt * 4 * 4 + 8 * q4 * P * 2 * P * 4 > 100 * 2**20:
-        mt //= 2
+    # 4 y windows (2 planes x in+out) + the 4 double-buffered [Qr|Qi]
+    # streams (see _auto_mtile for the buffering accounting)
+    mt = _auto_mtile(mt, rows, 4, 8 * q4 * P * 2 * P * 4)
     mp = -(-m // mt) * mt
     zero = jnp.zeros((rows, mp), jnp.float32)
     yp_r = lax.dynamic_update_slice(zero, y_r, (fy, 0))
@@ -520,8 +532,7 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=512, interpret=False):
     mt = min(m_tile, -(-m // 8) * 8)
     # auto-shrink the m-tile until the resident-y (in+out, double-
     # buffered by the pipeline) + qw stream buffers fit VMEM
-    while mt > 64 and rows * mt * 4 * 4 + 8 * q4 * P * P * 4 > 100 * 2**20:
-        mt //= 2
+    mt = _auto_mtile(mt, rows, 2, 8 * q4 * P * P * 4)
     mp = -(-m // mt) * mt
     y_p = jnp.zeros((rows, mp), jnp.float32)
     y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))

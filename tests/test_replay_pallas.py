@@ -101,3 +101,30 @@ def test_replay_planar_pallas_matches_xla(n, b, g):
                                rtol=0, atol=2e-4 * n)
     np.testing.assert_allclose(np.asarray(zi1), np.asarray(zi0),
                                rtol=0, atol=2e-4 * n)
+
+
+def test_auto_mtile_vmem_budget():
+    """The m-tile sizing must account for pipeline double-buffering of
+    every y window.  At n=8192 the planar replay (4 y windows) overflowed
+    the 128M chip vmem with mt=512 (145.2M measured on-chip, round 5):
+    the planar kernel must shrink to 256 while the real kernel (2 y
+    windows, 75.6M) keeps 512.  At n=4096 both keep 512."""
+    from eigensolver_gpu_tpu.ops.replay_pallas import P, _auto_mtile, _geometry
+
+    def mtiles(n, b=32, g=96):
+        geo = _geometry(n, b, g)
+        n_act4 = -(-geo["n_act"] // 4) * 4
+        q4 = n_act4 // 4
+        rows = -(-(7 + n + P + 8) // 8) * 8
+        real = _auto_mtile(512, rows, 2, 8 * q4 * P * P * 4)
+        planar = _auto_mtile(512, rows, 4, 8 * q4 * P * 2 * P * 4)
+        return real, planar
+
+    assert mtiles(8192) == (512, 256)
+    assert mtiles(4096) == (512, 512)
+    # modeled planar usage at the chosen tile stays under the 112M limit
+    geo = _geometry(8192, 32, 96)
+    q4 = (-(-geo["n_act"] // 4) * 4) // 4
+    rows = -(-(7 + 8192 + P + 8) // 8) * 8
+    used = rows * 256 * 4 * 2 * 4 + 8 * q4 * P * 2 * P * 4
+    assert used < 112 * 2**20
