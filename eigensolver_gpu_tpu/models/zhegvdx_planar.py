@@ -45,6 +45,21 @@ class PlanarResult(NamedTuple):
     info: jax.Array
 
 
+def _want_two_stage_planar(tridiag_mode, min_n, n, is_f32, backend):
+    """Planar two-stage gate: 'two' always engages it; 'auto' engages it
+    for fp32 TPU runs at n >= cfg.planar_two_stage_min_n (0 = never).
+    Crossover measured on-chip round 5 (benchmarks/two_stage_planar.py):
+    one-stage wins at n=4096 (478.9 vs 532.0 ms), two-stage wins at
+    n=8192."""
+    return tridiag_mode == "two" or (
+        tridiag_mode == "auto"
+        and min_n > 0
+        and n >= min_n
+        and is_f32
+        and backend == "tpu"
+    )
+
+
 def _from_upper_planar(xr, xi):
     """Rebuild the Hermitian planar pair from its upper triangle — LAPACK
     UPLO='U' semantics (zhegvdx_gpu.F90:58: only the upper triangle is
@@ -197,16 +212,9 @@ def zhegvdx_planar(ar, ai, br, bi, il=1, iu=None, cfg: SolverConfig = DEFAULT_CO
         nbt = cfg.nb_tridiag
         npad = -(-n // nbt) * nbt
         cr_p, ci_p = _pad_planar(cr, ci, npad)
-        # 'two' forces the planar two-stage reduction; 'auto' engages it
-        # for fp32 TPU runs at n >= cfg.planar_two_stage_min_n (0 =
-        # never -- the default until the on-chip crossover against the
-        # 549 ms one-stage hetrd wall is measured, VERDICT r4 #3)
-        want_two = cfg.tridiag_mode == "two" or (
-            cfg.tridiag_mode == "auto"
-            and cfg.planar_two_stage_min_n > 0
-            and n >= cfg.planar_two_stage_min_n
-            and ar.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
+        want_two = _want_two_stage_planar(
+            cfg.tridiag_mode, cfg.planar_two_stage_min_n, n,
+            ar.dtype == jnp.float32, jax.default_backend(),
         )
         two_stage = (
             want_two

@@ -327,3 +327,23 @@ def test_two_stage_planar_clustered_spectrum():
     w_ref = scipy.linalg.eigh(a, bmat, eigvals_only=True)
     np.testing.assert_allclose(np.asarray(w), w_ref[: n // 4],
                                rtol=0, atol=1e-10 * n)
+
+
+def test_planar_two_stage_auto_gate():
+    """Gate logic for the planar two-stage reduction: 'two' always
+    engages it; 'auto' only for fp32 TPU runs at n >= the measured
+    crossover (planar_two_stage_min_n; 0 = never)."""
+    from eigensolver_gpu_tpu.models.zhegvdx_planar import (
+        _want_two_stage_planar,
+    )
+    from eigensolver_gpu_tpu.utils.config import DEFAULT_CONFIG
+
+    m = DEFAULT_CONFIG.planar_two_stage_min_n
+    assert _want_two_stage_planar("two", 0, 256, False, "cpu")
+    assert not _want_two_stage_planar("auto", 0, 1 << 30, True, "tpu")
+    if m:
+        assert _want_two_stage_planar("auto", m, m, True, "tpu")
+        assert not _want_two_stage_planar("auto", m, m - 1, True, "tpu")
+        assert not _want_two_stage_planar("auto", m, m, False, "tpu")
+        assert not _want_two_stage_planar("auto", m, m, True, "cpu")
+    assert not _want_two_stage_planar("one", m or 4096, 1 << 30, True, "tpu")
