@@ -23,14 +23,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# The suite's cost is XLA *CPU* compile time of the big end-to-end
-# driver graphs, not runtime (tiny n everywhere). Skipping the heavy
-# HLO optimization passes cuts the cold compiles ~1.7x (measured on the
-# mixed-trinv graph: 101 s -> 59 s) with identical test outcomes --
-# correctness never depends on optimization level, and the numerics
-# actually get *closer* to the reference order of operations. bench.py
-# and the TPU benchmarks do NOT set this.
-jax.config.update("jax_disable_most_optimizations", True)
+# Do NOT set jax_disable_most_optimizations here. It was tried in
+# round 5 to cut the big driver-graph compiles ~1.7x (101 s -> 59 s on
+# the mixed-trinv graph) on the theory that correctness never depends
+# on optimization level -- and it FAILED test_refine_iters4_second_
+# f64_sweep: the unoptimized CPU lowering degrades the second-fp64-
+# sweep residual 300x (2.8e-7 vs the 3.7e-10 the optimized build
+# reaches; bisected to exactly this flag, round-5 session 2026-08-18).
+# The suite must validate the production compiler configuration; a
+# faster-but-different lowering tests a program nobody ships.
 
 # The suite's wall time is dominated by CPU XLA compiles of the
 # end-to-end mixed-precision driver traces (30-95 s EACH; pytest
