@@ -48,9 +48,11 @@ class PlanarResult(NamedTuple):
 def _want_two_stage_planar(tridiag_mode, min_n, n, is_f32, backend):
     """Planar two-stage gate: 'two' always engages it; 'auto' engages it
     for fp32 TPU runs at n >= cfg.planar_two_stage_min_n (0 = never).
-    Crossover measured on-chip round 5 (benchmarks/two_stage_planar.py):
-    one-stage wins at n=4096 (478.9 vs 532.0 ms), two-stage wins at
-    n=8192."""
+    Crossover measured on-chip round 5 (benchmarks/two_stage_planar.py,
+    final kernels): one-stage keeps n=4096 (477.8 vs 534.6 ms);
+    two-stage wins 1.28x at n=8192 (2961.9 vs 3783.9 ms: psbrd 1213 +
+    chase 530 + q2 809 + q1 410 vs hetrd 3371 + unmtr 413) -> the
+    default min_n is 8192 (utils/config.py)."""
     return tridiag_mode == "two" or (
         tridiag_mode == "auto"
         and min_n > 0

@@ -57,10 +57,11 @@ class SolverConfig:
         wins).
       planar_two_stage_min_n: 'auto' crossover for the PLANAR complex
         driver's two-stage reduction (models/zhegvdx_planar.py), fp32
-        pipeline on TPU only. 0 = never (the one-stage hetrd stays the
-        default until the on-chip crossover is measured --
-        benchmarks/two_stage_planar.py; an explicit tridiag_mode='two'
-        always engages it).
+        pipeline on TPU only. Measured on-chip (round 5,
+        benchmarks/two_stage_planar.py): one-stage keeps n=4096
+        (477.8 vs 534.6 ms) but two-stage wins 1.28x at n=8192
+        (2961.9 vs 3783.9 ms) -> default 8192. 0 = never; an explicit
+        tridiag_mode='two' always engages it.
       replay_g: group size (sweeps per compact-WY window) for the
         bulge-chase replay apply_q2. 0 = auto: 3*band for fp32 compute
         (l_win = band+g-1 = 127 fills the 128-lane MXU tile; valid for
@@ -109,7 +110,7 @@ class SolverConfig:
     tridiag_mode: str = "auto"
     band: int = 32
     two_stage_min_n: int = 4096
-    planar_two_stage_min_n: int = 0
+    planar_two_stage_min_n: int = 8192
     replay_g: int = 0
     refine_margin: int = 32
     refine_extra_max: int = 2
