@@ -29,9 +29,11 @@ Environment knobs:
   EIGSOLVE_BENCH_IU     upper eigenpair index (default n//4)
   EIGSOLVE_BENCH_DTYPE  'complex128' (default) or 'float64'
   EIGSOLVE_BENCH_SKIP_CPU  skip the scipy baseline (vs_baseline = 0)
-  EIGSOLVE_BENCH_SWEEPS  refinement sweeps for mode=mp (default 3 =
-                         2 coarse fp32 + 1 fp64; defect-gated escalation
-                         still guards the residual contract)
+  EIGSOLVE_BENCH_SWEEPS  refinement sweeps for mode=mp (default 2 =
+                         1 coarse fp32 + 1 fp64; flipped from 3 by the
+                         round-5 A/B -- 986.7 vs 1005.5 ms at an
+                         identical 1.7e-17 residual, the defect-gated
+                         escalation guards the contract on hard spectra)
   EIGSOLVE_BENCH_PSOLVE  planar_solve_mode for the planar fp32 pipeline
                          ('blockinv' default | 'trinv' | 'subst')
   EIGSOLVE_BENCH_TRIDIAG tridiag_mode: 'auto' (default, measured
@@ -179,11 +181,13 @@ def main():
     # default: the fp32-factorization + fp64-refinement path -- measured
     # faster than everything else on the target chip with residuals ~1e-18
     # normalized (see benchmarks/compare.py runs); 'dc' = full fp64 D&C.
-    # 3 refinement sweeps = 2 coarse (fp32) + 1 full (fp64): the fp32
-    # sweeps are nearly free and the single fp64 sweep halves what used
-    # to be 70% of the wall time (benchmarks/stages_planar.py).
+    # 2 refinement sweeps = 1 coarse (fp32) + 1 full (fp64), matching
+    # the library default refine_iters=2: the round-5 A/B measured the
+    # second coarse sweep as +19 ms for zero residual gain (1.7e-17
+    # either way), and the defect-gated escalation (refine_extra_max)
+    # adds fp64 sweeps automatically on spectra that need them.
     use_pallas = bool(os.environ.get("EIGSOLVE_BENCH_PALLAS"))
-    sweeps = int(os.environ.get("EIGSOLVE_BENCH_SWEEPS", "3"))
+    sweeps = int(os.environ.get("EIGSOLVE_BENCH_SWEEPS", "2"))
     psolve = os.environ.get("EIGSOLVE_BENCH_PSOLVE", "blockinv")
     sygst = os.environ.get("EIGSOLVE_BENCH_SYGST", "full")
     # tridiagonalization A/B: 'one'/'two'/'auto' (default 'auto' -- the
