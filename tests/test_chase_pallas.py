@@ -1,10 +1,12 @@
 """Pallas bulge chase vs the XLA chase (interpret mode on CPU)."""
 
+import contextlib
 import os
 
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from eigensolver_gpu_tpu.ops.chase_pallas import bulge_chase_pallas
@@ -14,6 +16,30 @@ from eigensolver_gpu_tpu.ops.sb2st import (
     bulge_chase,
     dense_to_band,
 )
+
+
+@contextlib.contextmanager
+def _deterministic_lowering():
+    """Pin an unoptimized XLA lowering for BIT-exactness comparisons.
+
+    The batch3 and per-timestep kernels run the same window arithmetic
+    on the same values; only the band<->register staging differs. That
+    makes them bitwise-identical under any fixed instruction selection
+    -- but the two variants are *different surrounding programs*, and
+    the optimizing XLA CPU pipeline is free to contract FMAs
+    differently in each (observed: d drifts 4e-5 abs on the planar
+    pair under full optimization, while the no-opt lowering and the
+    real Mosaic TPU lowering are both exactly equal). Scoping
+    jax_disable_most_optimizations to these tests keeps the strict
+    staging check without testing a non-production compiler config
+    anywhere else (see tests/conftest.py for why it must not be
+    global)."""
+    old = jax.config.read("jax_disable_most_optimizations")
+    jax.config.update("jax_disable_most_optimizations", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_disable_most_optimizations", old)
 
 
 def _rand_band(rng, n, b):
@@ -155,8 +181,9 @@ def test_batch3_bitexact_vs_per_timestep():
     rng = np.random.default_rng(3)
     a = _rand_band(rng, n, b)
     band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
-    r0 = bulge_chase_pallas(band, b, tb=6, interpret=True)
-    r1 = bulge_chase_pallas(band, b, tb=6, interpret=True, batch3=True)
+    with _deterministic_lowering():
+        r0 = bulge_chase_pallas(band, b, tb=6, interpret=True)
+        r1 = bulge_chase_pallas(band, b, tb=6, interpret=True, batch3=True)
     for name, x0, x1 in zip(["d", "e", "vt", "tau"], r0, r1):
         np.testing.assert_array_equal(
             np.asarray(x0), np.asarray(x1), err_msg=name
@@ -181,10 +208,13 @@ def test_batch3_planar_bitexact_vs_per_timestep():
     )
     band_r = jnp.asarray(dense_to_band(jnp.asarray(a), b))
     band_i = jnp.asarray(dense_to_band(jnp.asarray(ai), b))
-    r0 = bulge_chase_planar_pallas(band_r, band_i, b, tb=6, interpret=True)
-    r1 = bulge_chase_planar_pallas(
-        band_r, band_i, b, tb=6, interpret=True, batch3=True
-    )
+    with _deterministic_lowering():
+        r0 = bulge_chase_planar_pallas(
+            band_r, band_i, b, tb=6, interpret=True
+        )
+        r1 = bulge_chase_planar_pallas(
+            band_r, band_i, b, tb=6, interpret=True, batch3=True
+        )
 
     def _flat(r):
         d, (er, ei), (vtr, vti), (taur, taui) = r
@@ -212,8 +242,9 @@ def test_batch3_bitexact_multigroup():
     rng = np.random.default_rng(5)
     a = _rand_band(rng, n, b)
     band = jnp.asarray(dense_to_band(jnp.asarray(a), b))
-    r0 = bulge_chase_pallas(band, b, tb=24, interpret=True)
-    r1 = bulge_chase_pallas(band, b, tb=24, interpret=True, batch3=True)
+    with _deterministic_lowering():
+        r0 = bulge_chase_pallas(band, b, tb=24, interpret=True)
+        r1 = bulge_chase_pallas(band, b, tb=24, interpret=True, batch3=True)
     for name, x0, x1 in zip(["d", "e", "vt", "tau"], r0, r1):
         np.testing.assert_array_equal(
             np.asarray(x0), np.asarray(x1), err_msg=name
