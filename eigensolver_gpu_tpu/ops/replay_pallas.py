@@ -8,9 +8,21 @@ useful traffic).  Here the whole wave loop runs inside one Mosaic
 kernel per m-tile:
 
 * y stays VMEM-RESIDENT across ALL waves of an m-tile -- read from HBM
-  once, written back once (grid = (m_tiles, n_waves); the y block's
-  index map ignores the wave dimension, so Pallas fetches it only when
-  the m-tile changes).
+  once, written back once.  Two staging schemes:
+  - RESIDENT (default): y lives in HBM (memory_space=ANY) and each
+    m-tile is staged through ONE manually-DMA'd VMEM scratch per plane
+    (fetched at wave 0, stored at the last wave).  The pipelined
+    scheme's automatic double-buffering charged 2x VMEM per y window
+    (4x for the planar pair's in+out), forcing the m-tile down to 128
+    at n=8192 planar -- and the replay's cost is ~m_tiles * n_waves *
+    slot overhead, measured ~8x above its flop roofline.  Single
+    buffering lifts the m-tile bound 4-8x (one fetch costs ~1 ms
+    against 100s of ms of waves, so the lost overlap is noise).
+  - PIPELINED (EIGSOLVE_REPLAY_PIPELINED=1, or automatic when the
+    toolchain rejects the resident probe / the resident tile bound is
+    infeasible): grid = (m_tiles, n_waves) with the y block's index
+    map ignoring the wave dimension, so Pallas fetches it only when
+    the m-tile changes, double-buffered.
 * the window-Q matrices (one (P, P) orthogonal block per active slot,
   P = 128) are PRECOMPUTED in one batched XLA pass over all windows
   (window_qs below) -- the per-wave vtv/T-inverse/qform work leaves the
@@ -35,6 +47,7 @@ the reference does not have.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -54,6 +67,141 @@ from eigensolver_gpu_tpu.utils.tracing import trace_range
 
 P = 128  # padded window size: one full MXU tile
 N_STREAMS = 4  # parallel qw BlockSpec entries (DMA concurrency)
+
+# escape hatch: force the pipelined (double-buffered BlockSpec) staging
+_REPLAY_PIPELINED = bool(os.environ.get("EIGSOLVE_REPLAY_PIPELINED"))
+
+
+def _resident_mtile(rows, n_plane, m, stream_bytes, m_tile):
+    """m-tile for the RESIDENT staging scheme: one single-buffered
+    (rows, mt) fp32 VMEM scratch per plane + the double-buffered qw
+    streams must fit the VMEM budget.  With m_tile=None (auto) picks
+    the largest 128-multiple tile that splits m evenly into the fewest
+    tiles (the replay cost is ~per-tile, so fewer is strictly better);
+    an explicit m_tile is honored (tests force tiny tiles to exercise
+    the tiling).  Returns None when even a 128-wide tile does not fit
+    (caller falls back to the pipelined scheme)."""
+    budget = 92 * 2**20 - stream_bytes
+    bound = budget // (rows * 4 * n_plane)
+    if m_tile is not None:
+        mt = min(-(-min(m_tile, m) // 8) * 8, bound // 8 * 8)
+        return mt if mt >= 8 else None
+    for k in range(1, 65):
+        cand = -(-(-(-m // k)) // 128) * 128  # round_up(ceil(m/k), 128)
+        if cand <= bound:
+            return cand
+    return None
+
+
+def _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws, y_refs,
+               planar):
+    """One replay wave applied to VMEM-resident y plane(s).  Shared by
+    the pipelined kernels (y_refs = pipeline output block refs) and the
+    resident kernels (y_refs = manually-DMA'd scratch).  The base/clamp
+    arithmetic matches the host-side _wave_gather exactly (clamp proof
+    in the module docstring of the round-4 kernel)."""
+    i32 = jnp.int32
+    spacing = i32(g + 2 * b)
+    ti = t.astype(i32)
+    par = lax.rem(ti, i32(2))
+    c0 = i32(n_groups - 1) - lax.div(ti - par, i32(2))
+    u_lo = jnp.minimum(jnp.maximum(i32(0), -c0), i32(max(n_u - n_act4, 0)))
+    base = (c0 + u_lo) * i32(g) + i32(1) + par * i32(b) \
+        + i32(2 * b) * u_lo + i32(fy)
+    kmax_i = i32((n - 3) // b if n > 3 else 0)
+
+    for s in range(N_STREAMS):
+        qref = qws[s]
+
+        def slot(i, carry, qref=qref, s=s):
+            u = u_lo + i32(s * q4) + i
+            j = c0 + u
+            k = par + i32(2) * u
+            a0 = j * i32(g) + k * i32(b)
+            # provably 8-aligned: fy = 7 mod 8, g = b = 0 mod 8 make
+            # every base = 0 mod 8, and spacing = g+2b = 0 mod 8.
+            # Active slots always land in [fy+1, fy+n-2+P); the clamp
+            # (8-aligned bounds, so the multiple_of proof survives)
+            # keeps INACTIVE slots' never-executed addresses in range.
+            r0 = base + (i32(s * q4) + i) * spacing
+            r0 = jnp.clip(r0, i32(0), i32(rows - P))
+            r0 = pl.multiple_of(r0, 8)
+
+            @pl.when((j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3)))
+            def _():
+                dot = lambda a, x: jnp.dot(
+                    a, x,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                if planar:
+                    yr_o, yi_o = y_refs
+                    qcat = qref[0, i]            # (P, 2P) = [Q_r | Q_i]
+                    q_r = qcat[:, :P]
+                    q_i = qcat[:, P:]
+                    br = yr_o[pl.ds(r0, P), :]
+                    bi = yi_o[pl.ds(r0, P), :]
+                    # Karatsuba: 3 MXU dots per slot instead of 4
+                    m1 = dot(q_r, br)
+                    m2 = dot(q_i, bi)
+                    m3 = dot(q_r + q_i, br + bi)
+                    yr_o[pl.ds(r0, P), :] = m1 - m2
+                    yi_o[pl.ds(r0, P), :] = m3 - m1 - m2
+                else:
+                    (y_o,) = y_refs
+                    q = qref[0, i]
+                    blk = y_o[pl.ds(r0, P), :]
+                    y_o[pl.ds(r0, P), :] = dot(q, blk)
+            return carry
+
+        lax.fori_loop(i32(0), i32(q4), slot, i32(0))
+
+
+def _replay_kernel_resident(n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
+                            n_waves, mt, planar, *refs):
+    """RESIDENT staging: y plane(s) arrive as whole (rows, mp) HBM refs
+    (memory_space=ANY); each m-tile is DMA'd into single-buffered VMEM
+    scratch at wave 0 and stored back at the last wave.  Grid iterates
+    the wave dim innermost, so the scratch carries across all waves of
+    a tile."""
+    n_y = 2 if planar else 1
+    y_ins = refs[:n_y]
+    qws = refs[n_y : n_y + N_STREAMS]
+    y_outs = refs[n_y + N_STREAMS : 2 * n_y + N_STREAMS]
+    scr = refs[2 * n_y + N_STREAMS :]
+    yvs, sems = scr[:n_y], scr[n_y:]
+    i32 = jnp.int32
+    t = pl.program_id(1).astype(i32)
+    col0 = pl.program_id(0).astype(i32) * i32(mt)
+
+    @pl.when(t == i32(0))
+    def _():
+        cps = [
+            pltpu.make_async_copy(
+                y_ins[p].at[:, pl.ds(col0, mt)], yvs[p], sems[p]
+            )
+            for p in range(n_y)
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws, yvs,
+               planar)
+
+    @pl.when(t == i32(n_waves - 1))
+    def _():
+        cps = [
+            pltpu.make_async_copy(
+                yvs[p], y_outs[p].at[:, pl.ds(col0, mt)], sems[p]
+            )
+            for p in range(n_y)
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
 
 def _auto_mtile(mt, rows, n_win, stream_bytes):
@@ -192,59 +340,19 @@ def window_qs(vt, taut, n, b, g):
 
 def _replay_kernel(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, n_waves,
                    *refs):
+    """PIPELINED staging, real dtype (see module docstring)."""
     (y_in, *qws), (y_out,) = refs[: 1 + N_STREAMS], refs[1 + N_STREAMS :]
     i32 = jnp.int32
+    # all scalar math in explicit int32 pairs: under x64, mixed
+    # promotion emits int64 converts Mosaic cannot lower
     t = pl.program_id(1).astype(i32)
-    spacing = i32(g + 2 * b)
 
     @pl.when(t == i32(0))
     def _():
         y_out[:, :] = y_in[:, :]
 
-    # all scalar math in explicit int32 pairs: under x64, mixed
-    # promotion emits int64 converts Mosaic cannot lower
-    ti = t.astype(i32)
-    par = lax.rem(ti, i32(2))
-    c0 = i32(n_groups - 1) - lax.div(ti - par, i32(2))
-    # first slot of the static n_act4 window (matches the host-side
-    # base0/u_lo computation in apply_q2_pallas exactly)
-    u_lo = jnp.minimum(
-        jnp.maximum(i32(0), -c0), i32(max(n_u - n_act4, 0))
-    )
-    base = (c0 + u_lo) * i32(g) + i32(1) + par * i32(b) \
-        + i32(2 * b) * u_lo + i32(fy)
-
-    # unrolled per-stream loops; each stream holds q4 consecutive slots
-    kmax_i = i32((n - 3) // b if n > 3 else 0)
-    for s in range(N_STREAMS):
-        qref = qws[s]
-
-        def slot(i, carry, qref=qref, s=s):
-            u = u_lo + i32(s * q4) + i
-            j = c0 + u
-            k = par + i32(2) * u
-            a0 = j * i32(g) + k * i32(b)
-            # provably 8-aligned: fy = 7 mod 8, g = b = 0 mod 8 make
-            # every base = 0 mod 8, and spacing = g+2b = 0 mod 8.
-            # Active slots always land in [fy+1, fy+n-2+P); the clamp
-            # (8-aligned bounds, so the multiple_of proof survives)
-            # keeps INACTIVE slots' never-executed addresses in range.
-            r0 = base + (i32(s * q4) + i) * spacing
-            r0 = jnp.clip(r0, i32(0), i32(rows - P))
-            r0 = pl.multiple_of(r0, 8)
-
-            @pl.when((j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3)))
-            def _():
-                q = qref[0, i]
-                blk = y_out[pl.ds(r0, P), :]
-                y_out[pl.ds(r0, P), :] = jnp.dot(
-                    q, blk,
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
-                )
-            return carry
-
-        lax.fori_loop(i32(0), i32(q4), slot, i32(0))
+    _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws,
+               (y_out,), planar=False)
 
 
 @highest_precision
@@ -356,72 +464,34 @@ def window_qs_planar(vt, taut, n, b, g):
 
 def _replay_kernel_planar(n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
                           n_waves, *refs):
+    """PIPELINED staging, planar pair (see module docstring)."""
     (yr_in, yi_in, *qws), (yr_out, yi_out) = (
         refs[: 2 + N_STREAMS], refs[2 + N_STREAMS :],
     )
     i32 = jnp.int32
     t = pl.program_id(1).astype(i32)
-    spacing = i32(g + 2 * b)
 
     @pl.when(t == i32(0))
     def _():
         yr_out[:, :] = yr_in[:, :]
         yi_out[:, :] = yi_in[:, :]
 
-    ti = t.astype(i32)
-    par = lax.rem(ti, i32(2))
-    c0 = i32(n_groups - 1) - lax.div(ti - par, i32(2))
-    u_lo = jnp.minimum(jnp.maximum(i32(0), -c0), i32(max(n_u - n_act4, 0)))
-    base = (c0 + u_lo) * i32(g) + i32(1) + par * i32(b) \
-        + i32(2 * b) * u_lo + i32(fy)
-
-    kmax_i = i32((n - 3) // b if n > 3 else 0)
-    for s in range(N_STREAMS):
-        qref = qws[s]
-
-        def slot(i, carry, qref=qref, s=s):
-            u = u_lo + i32(s * q4) + i
-            j = c0 + u
-            k = par + i32(2) * u
-            a0 = j * i32(g) + k * i32(b)
-            r0 = base + (i32(s * q4) + i) * spacing
-            r0 = jnp.clip(r0, i32(0), i32(rows - P))
-            r0 = pl.multiple_of(r0, 8)
-
-            @pl.when((j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3)))
-            def _():
-                qcat = qref[0, i]            # (P, 2P) = [Q_r | Q_i]
-                q_r = qcat[:, :P]
-                q_i = qcat[:, P:]
-                br = yr_out[pl.ds(r0, P), :]
-                bi = yi_out[pl.ds(r0, P), :]
-                # Karatsuba: 3 MXU dots per slot instead of 4
-                dot = lambda a, x: jnp.dot(
-                    a, x,
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
-                )
-                m1 = dot(q_r, br)
-                m2 = dot(q_i, bi)
-                m3 = dot(q_r + q_i, br + bi)
-                yr_out[pl.ds(r0, P), :] = m1 - m2
-                yi_out[pl.ds(r0, P), :] = m3 - m1 - m2
-            return carry
-
-        lax.fori_loop(i32(0), i32(q4), slot, i32(0))
+    _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws,
+               (yr_out, yi_out), planar=True)
 
 
 @highest_precision
 @functools.partial(
     jax.jit, static_argnames=("n", "b", "g", "m_tile", "interpret")
 )
-def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
+def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=None,
                            interpret=False):
     """Planar y <- Q2 y, Mosaic replay (fp32): drop-in for
     ops/sb2st_planar.apply_q2_planar on the fp32 TPU path.  vt/taut/y
     are (re, im) pairs; same wave schedule and constraints as
     apply_q2_pallas, with both y planes VMEM-resident and each active
-    slot a 3-dot Karatsuba window product."""
+    slot a 3-dot Karatsuba window product.  m_tile=None picks the
+    staging scheme's largest feasible tile (module docstring)."""
     if g is None:
         g = 3 * b
     if g % 8 or b % 8:
@@ -441,10 +511,20 @@ def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
     rows = -(-(fy + n + P + 8) // 8) * 8
 
     m = y_r.shape[1]
-    mt = min(m_tile, -(-m // 8) * 8)
-    # 4 y windows (2 planes x in+out) + the 4 double-buffered [Qr|Qi]
-    # streams (see _auto_mtile for the buffering accounting)
-    mt = _auto_mtile(mt, rows, 4, 8 * q4 * P * 2 * P * 4)
+    stream_bytes = 8 * q4 * P * 2 * P * 4
+    from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
+
+    resident = not _REPLAY_PIPELINED and (
+        interpret or kernel_ok("replay_resident")
+    )
+    mt = _resident_mtile(rows, 2, m, stream_bytes, m_tile) if resident \
+        else None
+    if mt is None:
+        resident = False
+        mt = min(m_tile or 512, -(-m // 8) * 8)
+        # 4 y windows (2 planes x in+out) + the 4 double-buffered
+        # [Qr|Qi] streams (see _auto_mtile for the accounting)
+        mt = _auto_mtile(mt, rows, 4, stream_bytes)
     mp = -(-m // mt) * mt
     zero = jnp.zeros((rows, mp), jnp.float32)
     yp_r = lax.dynamic_update_slice(zero, y_r, (fy, 0))
@@ -453,15 +533,6 @@ def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
     with trace_range("apply_q2_planar_pallas_qs"):
         qw = window_qs_planar(vt, taut, n, b, g)  # (n_waves, n_act4, P, 2P)
 
-    kernel = functools.partial(
-        _replay_kernel_planar, n, b, g, n_groups, n_u, n_act4, q4, fy,
-        rows, n_waves,
-    )
-    y_spec = pl.BlockSpec(
-        (rows, mt),
-        index_map=lambda i, t: (jnp.int32(0), i),
-        memory_space=pltpu.VMEM,
-    )
     qw_specs = [
         pl.BlockSpec(
             (1, q4, P, 2 * P),
@@ -471,16 +542,44 @@ def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
         )
         for _ in range(N_STREAMS)
     ]
+    if resident:
+        kernel = functools.partial(
+            _replay_kernel_resident, n, b, g, n_groups, n_u, n_act4, q4,
+            fy, rows, n_waves, mt, True,
+        )
+        y_any = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [y_any, y_any] + qw_specs
+        out_specs = [y_any, y_any]
+        scratch = [
+            pltpu.VMEM((rows, mt), jnp.float32),
+            pltpu.VMEM((rows, mt), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(
+            _replay_kernel_planar, n, b, g, n_groups, n_u, n_act4, q4, fy,
+            rows, n_waves,
+        )
+        y_spec = pl.BlockSpec(
+            (rows, mt),
+            index_map=lambda i, t: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [y_spec, y_spec] + qw_specs
+        out_specs = [y_spec, y_spec]
+        scratch = []
     with trace_range("apply_q2_planar_pallas"):
         out = pl.pallas_call(
             kernel,
             grid=(mp // mt, n_waves),
-            in_specs=[y_spec, y_spec] + qw_specs,
-            out_specs=[y_spec, y_spec],
+            in_specs=in_specs,
+            out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((rows, mp), jnp.float32),
                 jax.ShapeDtypeStruct((rows, mp), jnp.float32),
             ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024
             ),
@@ -499,13 +598,14 @@ def apply_q2_planar_pallas(vt, taut, y, n, b, g=None, m_tile=512,
 @functools.partial(
     jax.jit, static_argnames=("n", "b", "g", "m_tile", "interpret")
 )
-def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=512, interpret=False):
+def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=None, interpret=False):
     """y <- Q2 y, Mosaic replay (fp32). Drop-in for ops/sb2st.apply_q2
     on the fp32 TPU path; same reflector storage, same wave schedule.
 
     g defaults to 3b (l_win = 4b-1 = 127 at b=32: a full MXU tile).
     Requires g % 8 == 0 and b % 8 == 0 (all wave bases are then
-    8-aligned sublane offsets) and l_win <= 128.
+    8-aligned sublane offsets) and l_win <= 128.  m_tile=None picks the
+    staging scheme's largest feasible tile (module docstring).
     """
     if g is None:
         g = 3 * b
@@ -529,10 +629,20 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=512, interpret=False):
     rows = -(-(fy + n + P + 8) // 8) * 8
 
     m = y.shape[1]
-    mt = min(m_tile, -(-m // 8) * 8)
-    # auto-shrink the m-tile until the resident-y (in+out, double-
-    # buffered by the pipeline) + qw stream buffers fit VMEM
-    mt = _auto_mtile(mt, rows, 2, 8 * q4 * P * P * 4)
+    stream_bytes = 8 * q4 * P * P * 4
+    from eigensolver_gpu_tpu.utils.kernel_guard import kernel_ok
+
+    resident = not _REPLAY_PIPELINED and (
+        interpret or kernel_ok("replay_resident")
+    )
+    mt = _resident_mtile(rows, 1, m, stream_bytes, m_tile) if resident \
+        else None
+    if mt is None:
+        resident = False
+        mt = min(m_tile or 512, -(-m // 8) * 8)
+        # auto-shrink the m-tile until the resident-y (in+out, double-
+        # buffered by the pipeline) + qw stream buffers fit VMEM
+        mt = _auto_mtile(mt, rows, 2, stream_bytes)
     mp = -(-m // mt) * mt
     y_p = jnp.zeros((rows, mp), jnp.float32)
     y_p = lax.dynamic_update_slice(y_p, y, (fy, 0))
@@ -540,14 +650,6 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=512, interpret=False):
     with trace_range("apply_q2_pallas_qs"):
         qw = window_qs(vt, taut, n, b, g)  # (n_waves, n_act4, P, P)
 
-    kernel = functools.partial(
-        _replay_kernel, n, b, g, n_groups, n_u, n_act4, q4, fy, rows, n_waves
-    )
-    y_spec = pl.BlockSpec(
-        (rows, mt),
-        index_map=lambda i, t: (jnp.int32(0), i),
-        memory_space=pltpu.VMEM,
-    )
     qw_specs = [
         pl.BlockSpec(
             (1, q4, P, P),
@@ -556,13 +658,39 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=512, interpret=False):
         )
         for _ in range(N_STREAMS)
     ]
+    if resident:
+        kernel = functools.partial(
+            _replay_kernel_resident, n, b, g, n_groups, n_u, n_act4, q4,
+            fy, rows, n_waves, mt, False,
+        )
+        y_any = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [y_any] + qw_specs
+        out_specs = [y_any]
+        scratch = [
+            pltpu.VMEM((rows, mt), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(
+            _replay_kernel, n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
+            n_waves,
+        )
+        y_spec = pl.BlockSpec(
+            (rows, mt),
+            index_map=lambda i, t: (jnp.int32(0), i),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [y_spec] + qw_specs
+        out_specs = [y_spec]
+        scratch = []
     with trace_range("apply_q2_pallas"):
         out = pl.pallas_call(
             kernel,
             grid=(mp // mt, n_waves),
-            in_specs=[y_spec] + qw_specs,
-            out_specs=[y_spec],
+            in_specs=in_specs,
+            out_specs=out_specs,
             out_shape=[jax.ShapeDtypeStruct((rows, mp), jnp.float32)],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024
             ),

@@ -220,6 +220,50 @@ def _probe_replay_planar():
     )
 
 
+def _probe_replay_resident():
+    """The RESIDENT replay staging mechanism (memory_space=ANY y refs +
+    manual make_async_copy through single-buffered VMEM scratch), at a
+    multi-tile grid, with the result VERIFIED element-wise -- compile
+    success alone is not evidence of correctness on this toolchain
+    (round-5 strided-roll lesson)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, mt, ntile = 64, 128, 2
+
+    def k(x_ref, o_ref, yv, sem_i, sem_o):
+        col0 = pl.program_id(0).astype(jnp.int32) * jnp.int32(mt)
+        cp = pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(col0, mt)], yv, sem_i
+        )
+        cp.start()
+        cp.wait()
+        yv[:, :] = yv[:, :] * 2.0 + 1.0
+        cp2 = pltpu.make_async_copy(
+            yv, o_ref.at[:, pl.ds(col0, mt)], sem_o
+        )
+        cp2.start()
+        cp2.wait()
+
+    x = jnp.arange(rows * ntile * mt, dtype=jnp.float32).reshape(
+        rows, ntile * mt
+    )
+    got = np.asarray(pl.pallas_call(
+        k,
+        grid=(ntile,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((rows, ntile * mt), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, mt), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(x))
+    if not (got == np.asarray(x) * 2.0 + 1.0).all():
+        raise ValueError("resident-y DMA staging miscompiles")
+
+
 def _probe_ql():
     from eigensolver_gpu_tpu.ops.ql_panel_pallas import ql_panel_pallas
 
@@ -294,6 +338,7 @@ _PROBES = {
     "chase_planar": _probe_chase_planar,
     "replay": _probe_replay,
     "replay_planar": _probe_replay_planar,
+    "replay_resident": _probe_replay_resident,
     "ql": _probe_ql,
     "ql_planar": _probe_ql_planar,
     "pchol": _probe_pchol,

@@ -128,3 +128,50 @@ def test_auto_mtile_vmem_budget():
     rows = -(-(7 + 8192 + P + 8) // 8) * 8
     used = rows * 256 * 4 * 2 * 4 + 8 * q4 * P * 2 * P * 4
     assert used < 112 * 2**20
+
+
+def test_replay_pipelined_scheme_matches(monkeypatch):
+    """The PIPELINED staging fallback (toolchain-rejection / env escape
+    path) must agree with the XLA replay too; distinct geometry from the
+    resident-path tests so the jit cache cannot alias the two schemes."""
+    import eigensolver_gpu_tpu.ops.replay_pallas as rp
+
+    monkeypatch.setattr(rp, "_REPLAY_PIPELINED", True)
+    n, b, g = 160, 8, 24
+    rng = np.random.default_rng(12)
+    a, (d, e, vt, taut) = _chase(rng, n, b)
+    y = jnp.asarray(rng.standard_normal((n, 40)), jnp.float32)
+    z1 = np.asarray(apply_q2(vt, taut, y, n, b, g=1))
+    z = np.asarray(
+        apply_q2_pallas(vt, taut, y, n, b, g=g, m_tile=24, interpret=True)
+    )
+    np.testing.assert_allclose(z, z1, rtol=0, atol=1e-4)
+
+
+def test_resident_mtile_bounds():
+    """Auto resident tiles are 128-multiples covering m in the fewest
+    tiles under the single-buffered VMEM budget; explicit tiles are
+    honored; infeasible geometry returns None (pipelined fallback)."""
+    from eigensolver_gpu_tpu.ops.replay_pallas import P, _geometry, _resident_mtile
+
+    def bound_for(n, planes, m, m_tile=None, g=96, b=32):
+        geo = _geometry(n, b, g)
+        q4 = (-(-geo["n_act"] // 4) * 4) // 4
+        rows = -(-(7 + n + P + 8) // 8) * 8
+        sb = 8 * q4 * P * (2 * P if planes == 2 else P) * 4
+        return _resident_mtile(rows, planes, m, sb, m_tile), rows, sb
+
+    # n=8192 planar, m=2048: one even 1024 split (the pipelined scheme
+    # was forced down to mt=128 here -- the round-5 replay wall)
+    mt, rows, sb = bound_for(8192, 2, 2048)
+    assert mt == 1024
+    assert rows * mt * 4 * 2 + sb < 112 * 2**20
+    # n=8192 real, m=2048: a single tile
+    mt, rows, sb = bound_for(8192, 1, 2048)
+    assert mt == 2048
+    # explicit tiny tile honored (tests force tiling)
+    mt, _, _ = bound_for(8192, 2, 2048, m_tile=16)
+    assert mt == 16
+    # tiny m rounds up to one 128-wide tile
+    mt, _, _ = bound_for(8192, 2, 40)
+    assert mt == 128
