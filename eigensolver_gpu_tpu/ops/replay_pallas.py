@@ -157,19 +157,88 @@ def _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws, y_refs,
         lax.fori_loop(i32(0), i32(q4), slot, i32(0))
 
 
+def _wave_body_twophase(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t,
+                        qws, y_ref, tmp_ref):
+    """Two-phase wave for the REAL resident kernel: phase 1 computes
+    every active slot's window dot into a per-slot row band of
+    ``tmp_ref`` (y is READ-ONLY, so Mosaic can stream the independent
+    MXU dots back-to-back instead of stalling on the per-slot
+    read-modify-write chain -- the single-phase form measured ~4x above
+    its flop roofline at n=8192); phase 2 copies the bands back.
+    Equivalent to the single-phase wave because one wave's active
+    windows are pairwise DISJOINT: slot spacing g+2b exceeds the window
+    span l_win = b+g-1 (the wave-schedule invariant in
+    ops/sb2st.apply_q2), so no slot reads rows another slot writes."""
+    i32 = jnp.int32
+    spacing = i32(g + 2 * b)
+    ti = t.astype(i32)
+    par = lax.rem(ti, i32(2))
+    c0 = i32(n_groups - 1) - lax.div(ti - par, i32(2))
+    u_lo = jnp.minimum(jnp.maximum(i32(0), -c0), i32(max(n_u - n_act4, 0)))
+    base = (c0 + u_lo) * i32(g) + i32(1) + par * i32(b) \
+        + i32(2 * b) * u_lo + i32(fy)
+    kmax_i = i32((n - 3) // b if n > 3 else 0)
+
+    def slot_geom(i, s):
+        u = u_lo + i32(s * q4) + i
+        j = c0 + u
+        k = par + i32(2) * u
+        a0 = j * i32(g) + k * i32(b)
+        r0 = base + (i32(s * q4) + i) * spacing
+        r0 = jnp.clip(r0, i32(0), i32(rows - P))
+        r0 = pl.multiple_of(r0, 8)
+        pred = (j >= 0) & (k <= kmax_i) & (a0 <= i32(n - 3))
+        toff = pl.multiple_of((i32(s * q4) + i) * i32(P), P)
+        return r0, toff, pred
+
+    for s in range(N_STREAMS):
+        qref = qws[s]
+
+        def slot1(i, carry, qref=qref, s=s):
+            r0, toff, pred = slot_geom(i, s)
+
+            @pl.when(pred)
+            def _():
+                q = qref[0, i]
+                tmp_ref[pl.ds(toff, P), :] = jnp.dot(
+                    q, y_ref[pl.ds(r0, P), :],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+            return carry
+
+        lax.fori_loop(i32(0), i32(q4), slot1, i32(0))
+
+    for s in range(N_STREAMS):
+
+        def slot2(i, carry, s=s):
+            r0, toff, pred = slot_geom(i, s)
+
+            @pl.when(pred)
+            def _():
+                y_ref[pl.ds(r0, P), :] = tmp_ref[pl.ds(toff, P), :]
+            return carry
+
+        lax.fori_loop(i32(0), i32(q4), slot2, i32(0))
+
+
 def _replay_kernel_resident(n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
                             n_waves, mt, planar, *refs):
     """RESIDENT staging: y plane(s) arrive as whole (rows, mp) HBM refs
     (memory_space=ANY); each m-tile is DMA'd into single-buffered VMEM
     scratch at wave 0 and stored back at the last wave.  Grid iterates
     the wave dim innermost, so the scratch carries across all waves of
-    a tile."""
+    a tile.  The real kernel additionally carries a (n_act4*P, mt) tmp
+    scratch for the two-phase wave (the planar kernel's 3 Karatsuba
+    dots per slot amortize the per-slot stall already -- measured at
+    its MXU roofline -- so it keeps the single-phase wave)."""
     n_y = 2 if planar else 1
     y_ins = refs[:n_y]
     qws = refs[n_y : n_y + N_STREAMS]
     y_outs = refs[n_y + N_STREAMS : 2 * n_y + N_STREAMS]
     scr = refs[2 * n_y + N_STREAMS :]
-    yvs, sems = scr[:n_y], scr[n_y:]
+    yvs, sems = scr[:n_y], scr[n_y : 2 * n_y]
+    tmp = scr[2 * n_y] if not planar else None
     i32 = jnp.int32
     t = pl.program_id(1).astype(i32)
     col0 = pl.program_id(0).astype(i32) * i32(mt)
@@ -187,8 +256,12 @@ def _replay_kernel_resident(n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
         for cp in cps:
             cp.wait()
 
-    _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws, yvs,
-               planar)
+    if planar:
+        _wave_body(n, b, g, n_groups, n_u, n_act4, q4, fy, rows, t, qws,
+                   yvs, planar=True)
+    else:
+        _wave_body_twophase(n, b, g, n_groups, n_u, n_act4, q4, fy, rows,
+                            t, qws, yvs[0], tmp)
 
     @pl.when(t == i32(n_waves - 1))
     def _():
@@ -635,8 +708,10 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=None, interpret=False):
     resident = not _REPLAY_PIPELINED and (
         interpret or kernel_ok("replay_resident")
     )
-    mt = _resident_mtile(rows, 1, m, stream_bytes, m_tile) if resident \
-        else None
+    # the two-phase wave's (n_act4*P, mt) tmp scratch scales with mt
+    # exactly like an extra n_act4*P rows of y
+    mt = _resident_mtile(rows + n_act4 * P, 1, m, stream_bytes, m_tile) \
+        if resident else None
     if mt is None:
         resident = False
         mt = min(m_tile or 512, -(-m // 8) * 8)
@@ -669,6 +744,7 @@ def apply_q2_pallas(vt, taut, y, n, b, g=None, m_tile=None, interpret=False):
         scratch = [
             pltpu.VMEM((rows, mt), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((n_act4 * P, mt), jnp.float32),  # two-phase tmp
         ]
     else:
         kernel = functools.partial(

@@ -156,19 +156,23 @@ def test_resident_mtile_bounds():
 
     def bound_for(n, planes, m, m_tile=None, g=96, b=32):
         geo = _geometry(n, b, g)
-        q4 = (-(-geo["n_act"] // 4) * 4) // 4
+        n_act4 = -(-geo["n_act"] // 4) * 4
+        q4 = n_act4 // 4
         rows = -(-(7 + n + P + 8) // 8) * 8
         sb = 8 * q4 * P * (2 * P if planes == 2 else P) * 4
-        return _resident_mtile(rows, planes, m, sb, m_tile), rows, sb
+        # the real kernel budgets the two-phase tmp as extra rows
+        # (mirrors apply_q2_pallas)
+        rows_eff = rows if planes == 2 else rows + n_act4 * P
+        return _resident_mtile(rows_eff, planes, m, sb, m_tile), rows, sb
 
     # n=8192 planar, m=2048: one even 1024 split (the pipelined scheme
     # was forced down to mt=128 here -- the round-5 replay wall)
     mt, rows, sb = bound_for(8192, 2, 2048)
     assert mt == 1024
     assert rows * mt * 4 * 2 + sb < 112 * 2**20
-    # n=8192 real, m=2048: a single tile
+    # n=8192 real, m=2048: two 1024 tiles (y + two-phase tmp in budget)
     mt, rows, sb = bound_for(8192, 1, 2048)
-    assert mt == 2048
+    assert mt == 1024
     # explicit tiny tile honored (tests force tiling)
     mt, _, _ = bound_for(8192, 2, 2048, m_tile=16)
     assert mt == 16
